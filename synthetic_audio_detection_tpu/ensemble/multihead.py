@@ -1,0 +1,195 @@
+"""Multi-head ensemble as stacked parameters + vmap.
+
+The reference's `ModularMultiHeadClassifier` loops N sub-models inside one
+forward (reference: model_merger.py:75-91) — N sequential kernel launches. The
+TPU-native formulation stacks the N sub-models' parameter trees along a
+leading axis and `jax.vmap`s one sub-model forward over it: all heads become a
+single XLA program with batched matmuls on the MXU (SURVEY.md §2.4
+"ensemble-member parallel").
+
+Aggregation rule (model_merger.py:75-91, whitepaper eqs. 5-6): output
+[B, N+1] = [syn_1..syn_N, mean(real_1..real_N)], where per sub-model
+index 0 = Real, index 1 = Synthetic.
+
+When every sub-model shares identical backbone weights — which is exactly what
+reference-merged checkpoints contain, because its `strict=False` load only
+ever matches `head.*` keys (SURVEY.md §2.2, model_merger.py:55) — the backbone
+runs once and only the tiny MLP heads are vmapped (`shared_backbone=True`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synthetic_audio_detection_tpu.models.classifier import (
+    REAL_INDEX,
+    SYNTHETIC_INDEX,
+    BinaryClassifier,
+)
+from synthetic_audio_detection_tpu.models.head import BinaryHead
+
+
+@dataclasses.dataclass
+class MultiHeadEnsemble:
+    """Stacked-parameter ensemble.
+
+    variables: pytree whose leaves have a leading axis of size num_heads,
+    matching BinaryClassifier's variable structure ({'params', 'batch_stats'}).
+    class_names: [syn_1, ..., syn_N, real_name] (merged-checkpoint metadata
+    contract, model_merger.py:153-159).
+    """
+
+    model: BinaryClassifier
+    variables: Any
+    class_names: List[str]
+    shared_backbone: bool = False
+
+    @property
+    def num_heads(self) -> int:
+        return len(self.class_names) - 1
+
+    @property
+    def synthetic_names(self) -> List[str]:
+        return self.class_names[:-1]
+
+    @property
+    def real_name(self) -> str:
+        return self.class_names[-1]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return ensemble_forward(self, x)
+
+
+def stack_variables(variable_dicts: List[Any]) -> Any:
+    """Stack N per-sub-model variable trees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *variable_dicts)
+
+
+def unstack_variables(stacked: Any, num_heads: int) -> List[Any]:
+    return [
+        jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(num_heads)
+    ]
+
+
+def backbones_identical(variable_dicts: List[Any], atol: float = 0.0) -> bool:
+    """True when every sub-model's `base` params + stats are bit-identical."""
+    if len(variable_dicts) <= 1:
+        return True
+
+    def base_of(v):
+        return {
+            "params": v["params"]["base"],
+            "batch_stats": v.get("batch_stats", {}).get("base", {}),
+        }
+
+    first = base_of(variable_dicts[0])
+    flat0, _ = jax.tree_util.tree_flatten(first)
+    for v in variable_dicts[1:]:
+        flat, _ = jax.tree_util.tree_flatten(base_of(v))
+        if len(flat) != len(flat0):
+            return False
+        for a, b in zip(flat0, flat):
+            if a.shape != b.shape or not np.allclose(np.asarray(a), np.asarray(b), atol=atol):
+                return False
+    return True
+
+
+def build_ensemble(
+    model: BinaryClassifier,
+    variable_dicts: List[Any],
+    class_names: List[str],
+    detect_shared_backbone: bool = True,
+) -> MultiHeadEnsemble:
+    shared = detect_shared_backbone and backbones_identical(variable_dicts)
+    return MultiHeadEnsemble(
+        model=model,
+        variables=stack_variables(variable_dicts),
+        class_names=list(class_names),
+        shared_backbone=shared,
+    )
+
+
+def _aggregate(logits_nh: jnp.ndarray) -> jnp.ndarray:
+    """[N, B, 2] per-head logits → [B, N+1] ensemble output."""
+    syn = jnp.transpose(logits_nh[:, :, SYNTHETIC_INDEX])  # [B, N]
+    real_mean = jnp.mean(logits_nh[:, :, REAL_INDEX], axis=0, keepdims=True).T  # [B, 1]
+    return jnp.concatenate([syn, real_mean], axis=1)
+
+
+def ensemble_forward(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, W, C] NHWC images → [B, N+1] logits. Jit-friendly."""
+    if ens.shared_backbone:
+        # one backbone pass + vmapped heads
+        from synthetic_audio_detection_tpu.models.resnet import create_resnet
+
+        base_vars = {
+            "params": jax.tree_util.tree_map(lambda a: a[0], ens.variables["params"]["base"]),
+            "batch_stats": jax.tree_util.tree_map(
+                lambda a: a[0], ens.variables["batch_stats"]["base"]
+            ),
+        }
+        resnet = create_resnet(ens.model.backbone, ens.model.in_channels, ens.model.dtype)
+        feats = resnet.apply(base_vars, x, train=False)
+        head = BinaryHead(dtype=ens.model.dtype)
+        head_vars = {
+            "params": ens.variables["params"]["head"],
+            "batch_stats": ens.variables["batch_stats"]["head"],
+        }
+
+        def head_fwd(hv, f):
+            return head.apply(
+                {"params": hv["params"], "batch_stats": hv["batch_stats"]}, f, train=False
+            )
+
+        logits_nh = jax.vmap(head_fwd, in_axes=(0, None))(head_vars, feats)  # [N, B, 2]
+    else:
+        def sub_fwd(v, xx):
+            return ens.model.apply(v, xx, train=False)
+
+        logits_nh = jax.vmap(sub_fwd, in_axes=(0, None))(ens.variables, x)
+    return _aggregate(logits_nh)
+
+
+# ---------------------------------------------------------------------------
+# Decision rule (inference_runner.py:194-214)
+# ---------------------------------------------------------------------------
+
+def decide(
+    logits: jnp.ndarray, threshold: float = 0.5
+) -> Dict[str, jnp.ndarray]:
+    """Vectorized verdict over [B, N+1] ensemble logits.
+
+    Returns probs [B, N+1] (elementwise sigmoid — NOT softmax, matching the
+    reference), label_idx [B] in [0..N] where N denotes Real, and is_real [B].
+    A clip is Real iff sigmoid(real_mean) >= threshold AND every synthetic
+    sigmoid < threshold; otherwise the argmax synthetic head names it.
+    """
+    probs = jax.nn.sigmoid(logits)
+    syn = probs[:, :-1]
+    real = probs[:, -1]
+    is_real = (real >= threshold) & jnp.all(syn < threshold, axis=1)
+    syn_idx = jnp.argmax(syn, axis=1)
+    n = logits.shape[1] - 1
+    label_idx = jnp.where(is_real, n, syn_idx)
+    return {"probs": probs, "label_idx": label_idx, "is_real": is_real}
+
+
+def labels_from_indices(
+    label_idx: np.ndarray, synthetic_names: List[str], real_name: str
+) -> List[str]:
+    n = len(synthetic_names)
+    out = []
+    for i in np.asarray(label_idx):
+        i = int(i)
+        if i == n:
+            out.append(real_name)
+        elif i < n:
+            out.append(synthetic_names[i])
+        else:  # unreachable, mirrors reference fallback naming
+            out.append(f"Synthetic_{i + 1}")
+    return out

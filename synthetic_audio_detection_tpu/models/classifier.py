@@ -1,0 +1,44 @@
+"""Sub-model = backbone + binary head (reference `BinaryClassifier`,
+model_merger.py:18-40). Output convention: index 0 = Real, index 1 = Synthetic
+(authoritative per model_merger.py:81-85; SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from synthetic_audio_detection_tpu.models.head import BinaryHead
+from synthetic_audio_detection_tpu.models.resnet import create_resnet
+from synthetic_audio_detection_tpu.utils.config import ModelConfig
+
+REAL_INDEX = 0
+SYNTHETIC_INDEX = 1
+
+
+class BinaryClassifier(nn.Module):
+    """forward: [B, H, W, C] NHWC spectrogram image → [B, 2] logits."""
+
+    backbone: str = "resnet18"
+    in_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        base = create_resnet(self.backbone, self.in_channels, self.dtype, module_name="base")
+        feats = base(x, train=train)
+        return BinaryHead(dtype=self.dtype, name="head")(feats, train=train)
+
+
+def build_classifier(cfg: ModelConfig, in_channels: int = 3) -> BinaryClassifier:
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    return BinaryClassifier(backbone=cfg.backbone, in_channels=in_channels, dtype=dtype)
+
+
+def init_classifier(model: BinaryClassifier, rng: jax.Array, input_size: int = 512):
+    """Initialize variables with a dummy batch; returns the variable dict
+    {'params': ..., 'batch_stats': ...}."""
+    dummy = jnp.zeros((1, input_size, input_size, model.in_channels), jnp.float32)
+    return model.init({"params": rng}, dummy, train=False)

@@ -1,0 +1,206 @@
+"""Typed configuration tree for the whole framework.
+
+The reference scatters its hyperparameters across per-script argparse flags and
+hard-coded constants (reference: modular/source/submodel_trainer.py:97-105,
+inference_runner.py:127-142). Here everything lives in one serializable
+dataclass tree; the compat CLIs map the reference flag surfaces onto it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Waveform-level parameters.
+
+    Defaults mirror the reference inference runner's *constructed* values
+    (reference: inference_runner.py:258 — overlap 0.0, silence 1e-3), not the
+    dataclass defaults it never uses. The legacy analyzer's values (overlap
+    0.85, silence 1e-4; legacy/source/inference_script.py:46-47) are available
+    via `legacy()`.
+    """
+
+    sample_rate: int = 32_000
+    window_seconds: float = 4.0
+    overlap: float = 0.0
+    silence_threshold: float = 1e-3
+
+    @property
+    def window_samples(self) -> int:
+        return int(self.window_seconds * self.sample_rate)
+
+    @property
+    def hop_samples(self) -> int:
+        hop = int((1.0 - self.overlap) * self.window_samples)
+        return max(hop, 1)
+
+    @staticmethod
+    def legacy() -> "AudioConfig":
+        return AudioConfig(overlap=0.85, silence_threshold=1e-4)
+
+
+@dataclass(frozen=True)
+class SpectrogramConfig:
+    """Mel-spectrogram front-end parameters.
+
+    Matches the reference bit-for-bit intent (SURVEY.md §2.3): n_fft 2048, hop
+    512, 128 mels in [20, 12000] Hz, power-2 spectrogram, dB conversion with
+    top_db=80, per-spectrogram standardization, bilinear resize to 512x512,
+    channel-triplication. `mel_norm` is None at training time and 'slaney' at
+    inference in the reference (a train/infer mismatch we reproduce,
+    flag-selected): submodel_trainer.py:97-103 vs inference_runner.py:142.
+    """
+
+    n_fft: int = 2048
+    hop_length: int = 512
+    win_length: Optional[int] = None  # defaults to n_fft
+    n_mels: int = 128
+    f_min: float = 20.0
+    f_max: float = 12_000.0
+    power: float = 2.0
+    top_db: float = 80.0
+    mel_norm: Optional[str] = None  # None (training) or 'slaney' (inference)
+    mel_scale: str = "htk"
+    center: bool = True
+    pad_mode: str = "reflect"
+    eps: float = 1e-6  # std epsilon in per-spectrogram normalization
+    out_size: int = 512  # square resize target
+    out_channels: int = 3
+
+    @property
+    def win(self) -> int:
+        return self.win_length or self.n_fft
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        if self.center:
+            return 1 + num_samples // self.hop_length
+        return 1 + (num_samples - self.win) // self.hop_length
+
+    @staticmethod
+    def train() -> "SpectrogramConfig":
+        return SpectrogramConfig(mel_norm=None)
+
+    @staticmethod
+    def inference() -> "SpectrogramConfig":
+        return SpectrogramConfig(mel_norm="slaney")
+
+
+@dataclass(frozen=True)
+class SpecAugmentConfig:
+    """Train-time spectrogram masking (reference: submodel_trainer.py:109-114)."""
+
+    freq_mask_param: int = 15
+    time_mask_param: int = 35
+    enabled: bool = True
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Backbone + head topology (reference: model_merger.py:18-40)."""
+
+    backbone: str = "resnet18"  # resnet18|resnet34|resnet50|resnet101|resnet152
+    head_hidden: Sequence[int] = (512, 256)
+    head_dropout: Sequence[float] = (0.5, 0.3)
+    num_outputs: int = 2  # [Real, Synthetic]
+    dtype: str = "float32"  # compute dtype: float32|bfloat16
+    input_size: int = 512
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: submodel_trainer.py:33-53,646-660)."""
+
+    data_dir: str = "./dataset"
+    batch_size: int = 32
+    epochs: int = 100
+    lr: float = 1e-3
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 0.5
+    seed: int = 42
+    workers: int = 20
+    checkpoint_dir: str = "./checkpoints"
+    resume: str = ""
+    class0: str = "Real"
+    class1: str = "Class1"
+    # ReduceLROnPlateau(mode='min', factor=0.5, patience=2)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 2
+    # layer3 unfreezes at epochs // 3 (submodel_trainer.py:687-691)
+    unfreeze_layer3_at_fraction: float = 1.0 / 3.0
+    # Reference-compat "loss over pooled features" quirk is NOT the default;
+    # the sane path puts the head in the loss (SURVEY.md §7.3).
+    log_every_steps: int = 100
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    threshold: float = 0.5
+    confidence_threshold: float = 0.45
+    smooth: bool = False
+    smooth_sigma: float = 2.0
+    batch_size: int = 128
+    max_windows: int = 4096  # static upper bound per compiled bucket
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit sharding (no reference counterpart;
+    the reference's only parallelism is single-process DataParallel,
+    submodel_trainer.py:637-639)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1: all devices
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Full end-to-end pipeline configuration."""
+
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    spec: SpectrogramConfig = field(default_factory=SpectrogramConfig.inference)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferenceConfig = field(default_factory=InferenceConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(to_dict(cfg), indent=2, sort_keys=True)
+
+
+def from_dict(cls, data: dict):
+    """Rebuild a (possibly nested) config dataclass from `to_dict` output."""
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        ftype = hints.get(f.name)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = from_dict(ftype, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
