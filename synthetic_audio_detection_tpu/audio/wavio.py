@@ -139,8 +139,12 @@ def write_wav(
 
     if subtype == "PCM_16":
         if interleaved.dtype != np.int16:
+            # libsndfile float→PCM16 semantics (the reference writes via
+            # soundfile, audio_augmneter.py:202): scale by 32768, round to
+            # nearest, clamp to the int16 range. Symmetric with the /32768
+            # read path: roundtrip error ≤ 0.5 LSB.
             x = np.clip(interleaved.astype(np.float64), -1.0, 1.0)
-            pcm = (x * 32767.0).round().astype("<i2")
+            pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
         else:
             pcm = interleaved.astype("<i2")
         raw = pcm.tobytes()

@@ -1,0 +1,92 @@
+"""Compat CLI: multi-head inference on one audio file.
+
+Flag surface mirrors the reference inference_runner.py:219-229 exactly
+(--merged-model, --audio, --threshold, --device, --confidence-threshold,
+--smooth, --output-json); --device is accepted and ignored (device selection
+is JAX's job). Output JSON schema matches inference_runner.py:336-353.
+
+Usage:
+    python -m synthetic_audio_detection_tpu.cli.inference_runner \
+        --merged-model merged.pth --audio clip.wav --output-json out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Multi-head inference with overlapping windows using "
+        "metadata from the merged model."
+    )
+    p.add_argument("--merged-model", type=str, required=True,
+                   help="Path to merged .pth (or native .msgpack) checkpoint")
+    p.add_argument("--audio", type=str, required=True, help="Path to WAV file")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="Threshold for deciding Real vs Synthetic")
+    p.add_argument("--device", type=str, default="tpu",
+                   help="Accepted for reference compatibility; ignored "
+                   "(JAX owns device placement)")
+    p.add_argument("--confidence-threshold", type=float, default=0.45,
+                   help="Confidence threshold for segments.")
+    p.add_argument("--smooth", action="store_true",
+                   help="Apply smoothing across windows.")
+    p.add_argument("--output-json", type=str, default="results.json")
+    # extensions beyond the reference surface
+    p.add_argument("--backbone", type=str, default="resnet18")
+    p.add_argument("--overlap", type=float, default=0.0,
+                   help="Window overlap fraction (reference main uses 0.0)")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (TPU fast path)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+
+    import jax.numpy as jnp
+
+    from synthetic_audio_detection_tpu.checkpoints import serialization
+    from synthetic_audio_detection_tpu.infer.pipeline import (
+        InferencePipeline,
+        result_json,
+    )
+    from synthetic_audio_detection_tpu.utils.config import (
+        AudioConfig,
+        InferenceConfig,
+        SpectrogramConfig,
+    )
+
+    ensemble = serialization.load_merged(args.merged_model, backbone=args.backbone)
+    print("Using metadata names:")
+    print("Synthetic names:", ensemble.synthetic_names)
+    print("Real name:", ensemble.real_name)
+
+    pipeline = InferencePipeline(
+        ensemble,
+        audio=AudioConfig(overlap=args.overlap, silence_threshold=1e-3),
+        spec=SpectrogramConfig.inference(),
+        infer=InferenceConfig(
+            threshold=args.threshold,
+            confidence_threshold=args.confidence_threshold,
+            smooth=args.smooth,
+            batch_size=args.batch_size,
+        ),
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    result = pipeline.analyze_file(args.audio, smooth=args.smooth)
+    payload = result_json(os.path.basename(args.audio), result)
+    with open(args.output_json, "w") as f:
+        f.write(payload)
+    print(payload)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,258 @@
+"""End-to-end inference pipeline: waveform → windows → fused mel+ensemble →
+verdicts → JSON.
+
+Reference behavior being reproduced (inference_runner.py:218-353):
+- preprocess: load → mono mean → resample to 32 kHz → zero-pad to ≥4 s
+  (:144-155)
+- windowing: 4 s windows, hop = (1-overlap)·window, silence gate
+  max|x| < threshold (:176-190)
+- per window: mel spectrogram (slaney norm) → dB → standardize → 512×512 →
+  3-channel (:157-174)
+- batched no-grad forward, batch 128 (:282-289)
+- decision: element-wise sigmoid; Real iff real≥thr and all syn<thr (:194-214)
+- optional temporal smoothing: gaussian σ=2 per output dim, row renorm,
+  re-decide (:300-325)
+- percentages = mean(probs)·100 per class (:327-334) — note the unsmoothed
+  path averages independent sigmoids (does not sum to 100), faithfully.
+
+TPU-native differences (design, not semantics): the whole window→logits path
+is ONE jitted program (mel front end fused with the vmapped ensemble instead
+of a CPU loop feeding the GPU); window batches are padded to static bucket
+sizes so each bucket compiles once; everything runs in float32 by default with
+a bfloat16 fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synthetic_audio_detection_tpu.audio import wavio
+from synthetic_audio_detection_tpu.ensemble.multihead import (
+    MultiHeadEnsemble,
+    decide,
+    ensemble_forward,
+    labels_from_indices,
+)
+from synthetic_audio_detection_tpu.ops import melspec
+from synthetic_audio_detection_tpu.ops.filters import gaussian_filter1d
+from synthetic_audio_detection_tpu.ops.resample import resample
+from synthetic_audio_detection_tpu.utils.config import (
+    AudioConfig,
+    InferenceConfig,
+    SpectrogramConfig,
+)
+
+
+# ---------------------------------------------------------------------------
+# Host-side: load + window slicing (cheap numpy; decode stays off-device)
+# ---------------------------------------------------------------------------
+
+def preprocess_waveform(
+    path: str, audio: AudioConfig
+) -> np.ndarray:
+    """Load → mono mean → resample to target rate → pad to ≥1 window.
+
+    Mirrors inference_runner.py:144-155. Returns float32 [T]."""
+    wf, sr = wavio.read_wav(path)
+    mono = wf.mean(axis=0)
+    if sr != audio.sample_rate:
+        mono = np.asarray(resample(jnp.asarray(mono), sr, audio.sample_rate))
+    if mono.shape[0] < audio.window_samples:
+        mono = np.pad(mono, (0, audio.window_samples - mono.shape[0]))
+    return mono.astype(np.float32)
+
+
+def slice_waveform(
+    waveform: np.ndarray, audio: AudioConfig
+) -> Tuple[np.ndarray, List[Tuple[float, float]]]:
+    """[T] → (windows [num, window_samples], [(start_sec, end_sec), ...]).
+
+    Overlapped strided windows with the silence gate, mirroring
+    inference_runner.py:176-190 (gate: skip when max|x| < threshold)."""
+    win = audio.window_samples
+    hop = audio.hop_samples
+    T = waveform.shape[0]
+    n = max(1, 1 + (T - win) // hop) if T >= win else 0
+    chunks, stamps = [], []
+    for i in range(n):
+        s = i * hop
+        seg = waveform[s : s + win]
+        if seg.shape[0] < win:
+            break
+        if np.abs(seg).max() < audio.silence_threshold:
+            continue
+        chunks.append(seg)
+        stamps.append((s / audio.sample_rate, (s + win) / audio.sample_rate))
+    if not chunks:
+        return np.zeros((0, win), np.float32), []
+    return np.stack(chunks).astype(np.float32), stamps
+
+
+# ---------------------------------------------------------------------------
+# Device-side: one fused jitted program per (bucket_size, config)
+# ---------------------------------------------------------------------------
+
+def _forward_windows(
+    variables: Any,
+    windows: jnp.ndarray,
+    *,
+    ensemble: MultiHeadEnsemble,
+    spec_cfg: SpectrogramConfig,
+    sample_rate: int,
+    use_gemm_dft: bool,
+    compute_dtype: Any,
+) -> jnp.ndarray:
+    """[B, T] waveform windows → [B, N+1] ensemble logits. Fully jitted:
+    mel front end + channel fold + vmapped multi-head forward in one program."""
+    feats = melspec.log_mel_features(
+        windows, spec_cfg, sample_rate, use_gemm_dft=use_gemm_dft,
+        out_dtype=compute_dtype,
+    )  # [B, 512, 512]
+    x = melspec.replicate_channels(feats, spec_cfg.out_channels)  # [B,512,512,3]
+    ens = dataclasses.replace(ensemble, variables=variables)
+    return ensemble_forward(ens, x)
+
+
+class InferencePipeline:
+    """Compiled windows→logits executor with static bucket sizes.
+
+    Bucketing: window batches are zero-padded up to the next bucket so each
+    bucket shape compiles exactly once (XLA static-shape requirement). Real
+    batches of any size then reuse the cached executables.
+    """
+
+    def __init__(
+        self,
+        ensemble: MultiHeadEnsemble,
+        audio: Optional[AudioConfig] = None,
+        spec: Optional[SpectrogramConfig] = None,
+        infer: Optional[InferenceConfig] = None,
+        use_gemm_dft: bool = True,
+        compute_dtype: Any = jnp.float32,
+        donate_windows: bool = False,
+    ):
+        self.ensemble = ensemble
+        self.audio = audio or AudioConfig()
+        self.spec = spec or SpectrogramConfig.inference()
+        self.infer = infer or InferenceConfig()
+        self.use_gemm_dft = use_gemm_dft
+        self.compute_dtype = compute_dtype
+
+        fwd = functools.partial(
+            _forward_windows,
+            ensemble=self.ensemble,
+            spec_cfg=self.spec,
+            sample_rate=self.audio.sample_rate,
+            use_gemm_dft=self.use_gemm_dft,
+            compute_dtype=self.compute_dtype,
+        )
+        self._jit_fwd = jax.jit(fwd, donate_argnums=(1,) if donate_windows else ())
+
+    # -- bucketing ----------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        b = self.infer.batch_size
+        if n <= 8:
+            return 8
+        return min(b, 1 << math.ceil(math.log2(n))) if n < b else b
+
+    def logits_for_windows(self, windows: np.ndarray) -> np.ndarray:
+        """[num, T] → [num, N+1] logits, batching through compiled buckets."""
+        num = windows.shape[0]
+        if num == 0:
+            return np.zeros((0, self.ensemble.num_heads + 1), np.float32)
+        out = []
+        i = 0
+        while i < num:
+            take = min(self.infer.batch_size, num - i)
+            bucket = self._bucket(take)
+            batch = windows[i : i + take]
+            if take < bucket:
+                batch = np.concatenate(
+                    [batch, np.zeros((bucket - take, windows.shape[1]), windows.dtype)]
+                )
+            logits = self._jit_fwd(self.ensemble.variables, jnp.asarray(batch))
+            out.append(np.asarray(logits[:take], np.float32))
+            i += take
+        return np.concatenate(out, axis=0)
+
+    # -- full clip ----------------------------------------------------------
+
+    def analyze_file(self, path: str, smooth: Optional[bool] = None) -> Dict[str, Any]:
+        wf = preprocess_waveform(path, self.audio)
+        windows, stamps = slice_waveform(wf, self.audio)
+        return self.analyze_windows(windows, stamps, smooth=smooth)
+
+    def analyze_windows(
+        self,
+        windows: np.ndarray,
+        stamps: Sequence[Tuple[float, float]],
+        smooth: Optional[bool] = None,
+    ) -> Dict[str, Any]:
+        """Windows → reference JSON result dict {segments, percentages}."""
+        smooth = self.infer.smooth if smooth is None else smooth
+        class_names = self.ensemble.class_names
+        if windows.shape[0] == 0:
+            # mirrors inference_runner.py:264-273 (empty JSON on no windows)
+            return {"segments": [], "percentages": {c: 0.0 for c in class_names}}
+
+        logits = self.logits_for_windows(windows)
+        verdict = decide(jnp.asarray(logits), self.infer.threshold)
+        probs = np.asarray(verdict["probs"])
+        label_idx = np.asarray(verdict["label_idx"])
+
+        if smooth:
+            probs, label_idx = self.smooth_probs(probs)
+
+        labels = labels_from_indices(
+            label_idx, self.ensemble.synthetic_names, self.ensemble.real_name
+        )
+        segments = [
+            {"start_sec": round(float(s), 3), "end_sec": round(float(e), 3),
+             "label": lab}
+            for (s, e), lab in zip(stamps, labels)
+        ]
+        percentages = {
+            c: float(np.round(probs[:, j].mean() * 100.0, 2))
+            for j, c in enumerate(class_names)
+        }
+        return {"segments": segments, "percentages": percentages}
+
+    def smooth_probs(self, probs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Gaussian-smooth per output dim across the window axis, renormalize
+        rows, re-decide labels (inference_runner.py:300-325)."""
+        sm = np.asarray(
+            gaussian_filter1d(jnp.asarray(probs), self.infer.smooth_sigma, axis=0)
+        )
+        row_sums = sm.sum(axis=1, keepdims=True)
+        sm = sm / np.maximum(row_sums, 1e-8)
+        n = probs.shape[1] - 1
+        syn = sm[:, :n]
+        real = sm[:, n]
+        # after renormalization the reference re-applies the same rule with
+        # the configured threshold scaled to the renormalized scale: it
+        # compares the renormalized values against threshold directly
+        is_real = (real >= self.infer.threshold) & np.all(
+            syn < self.infer.threshold, axis=1
+        )
+        label_idx = np.where(is_real, n, syn.argmax(axis=1))
+        return sm, label_idx
+
+
+def result_json(filename: str, result: Dict[str, Any]) -> str:
+    """Assemble the exact reference output schema
+    (inference_runner.py:336-353): {filename, segments[], percentages{}}."""
+    return json.dumps(
+        {"filename": filename,
+         "segments": result["segments"],
+         "percentages": result["percentages"]},
+        indent=2,
+    )

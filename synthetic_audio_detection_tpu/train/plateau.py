@@ -1,0 +1,44 @@
+"""ReduceLROnPlateau host-side state machine.
+
+Matches torch.optim.lr_scheduler.ReduceLROnPlateau(mode='min', factor=0.5,
+patience=2) as configured by the reference (submodel_trainer.py:655-660):
+if the monitored value fails to improve for `patience` consecutive epochs
+*after* the best epoch, multiply the lr by `factor`. torch semantics details
+reproduced: 'rel' threshold mode with threshold=1e-4 (default), cooldown 0,
+min_lr 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class PlateauState:
+    factor: float = 0.5
+    patience: int = 2
+    threshold: float = 1e-4
+    min_scale: float = 0.0
+    best: Optional[float] = None
+    num_bad_epochs: int = 0
+    scale: float = 1.0
+
+    def update(self, metric: float) -> float:
+        """Feed one epoch's monitored value; returns the current lr scale."""
+        if self.best is None or metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.num_bad_epochs = 0
+        return self.scale
+
+    def state_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "PlateauState":
+        return cls(**d)

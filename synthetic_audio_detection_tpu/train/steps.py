@@ -1,0 +1,268 @@
+"""Jitted training/eval steps for one binary head.
+
+Reference training semantics reproduced (submodel_trainer.py:241-313,646-660):
+- CrossEntropyLoss over 2 logits, targets {0=Real, 1=Synthetic}. (The sane
+  head-in-the-loss path — the reference's trainer accidentally computes CE on
+  pooled backbone features because timm ResNets classify via ``.fc`` not
+  ``.head`` (SURVEY.md §2.2); the checkpoint importer preserves that quirk's
+  *consequences*, the trainer does not reproduce the bug.)
+- AdamW(lr, weight_decay=0.01) (:648), global-norm gradient clip 0.5 (:276)
+- NaN/Inf loss → skip the whole update, matching `continue` at :266-271 —
+  implemented inside jit with lax.cond so the step stays one XLA program.
+- Freeze schedule: backbone frozen except layer4 at start; layer3 unfreezes at
+  epoch == epochs//3 (:609-633, :687-691) — implemented as a traced 0/1
+  parameter mask multiplied into the updates, so one compiled step serves all
+  phases.
+- ReduceLROnPlateau(factor=0.5, patience=2) on val loss (:655-660) — host-side
+  state (train/plateau.py); the lr scale enters the step as a scalar operand.
+- BatchNorm running stats update in train mode (torch momentum 0.1).
+
+TPU-native design: the mel front end runs *inside* the train step (device-side
+feature extraction — SURVEY.md §3.1 notes the reference computes mels on CPU
+in DataLoader workers, its biggest inefficiency); batch is sharded over the
+mesh 'data' axis; XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+from synthetic_audio_detection_tpu.ops import masking, melspec
+from synthetic_audio_detection_tpu.utils.config import (
+    SpecAugmentConfig,
+    SpectrogramConfig,
+    TrainConfig,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    # 0/1 per-leaf freeze mask over params (1 = trainable)
+    param_mask: Any
+    # multiplicative lr scale from the plateau scheduler (host-updated)
+    lr_scale: jnp.ndarray
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+# ---------------------------------------------------------------------------
+# Freeze masks
+# ---------------------------------------------------------------------------
+
+def freeze_mask(params: Any, trainable_prefixes: Tuple[str, ...]) -> Any:
+    """0/1 mask tree: a leaf is trainable iff its path contains one of the
+    prefixes. Reference phase 1: ('head', 'layer4'); phase 2 adds 'layer3'
+    (submodel_trainer.py:609-633, 687-691)."""
+
+    def walk(tree, path):
+        if isinstance(tree, (dict, FrozenDict)):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        on = any(any(p.startswith(pref) for p in path) for pref in trainable_prefixes)
+        return jnp.asarray(1.0 if on else 0.0, jnp.float32)
+
+    return walk(params, ())
+
+
+PHASE1_PREFIXES = ("head", "layer4")
+PHASE2_PREFIXES = ("head", "layer4", "layer3")
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip(0.5) → AdamW(lr, wd=0.01); lr is scaled at apply time by the
+    plateau factor through inject_hyperparams."""
+
+    def tx(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=cfg.weight_decay),
+        )
+
+    return optax.inject_hyperparams(tx)(lr=cfg.lr)
+
+
+def create_train_state(
+    model: BinaryClassifier,
+    rng: jax.Array,
+    cfg: TrainConfig,
+    input_size: int = 512,
+    initial_variables: Optional[Dict[str, Any]] = None,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    if initial_variables is None:
+        dummy = jnp.zeros((2, input_size, input_size, model.in_channels), jnp.float32)
+        initial_variables = model.init({"params": rng}, dummy, train=False)
+    params = initial_variables["params"]
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=initial_variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        param_mask=freeze_mask(params, PHASE1_PREFIXES),
+        lr_scale=jnp.ones((), jnp.float32),
+    )
+    return state, tx
+
+
+def unfreeze_layer3(state: TrainState) -> TrainState:
+    """Epoch == epochs//3 transition (submodel_trainer.py:687-691)."""
+    return state.replace(param_mask=freeze_mask(state.params, PHASE2_PREFIXES))
+
+
+# ---------------------------------------------------------------------------
+# Loss / forward
+# ---------------------------------------------------------------------------
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+
+def _features_from_waveforms(
+    waveforms: jnp.ndarray,
+    spec_cfg: SpectrogramConfig,
+    augment: Optional[SpecAugmentConfig],
+    rng: Optional[jax.Array],
+    sample_rate: int,
+) -> jnp.ndarray:
+    """[B, T] → [B, S, S, 3] standardized spectrogram images, with SpecAugment
+    masking applied pre-normalization in train mode (submodel_trainer.py:194-197
+    applies masks to the dB spectrogram before standardize)."""
+    mel = melspec.mel_spectrogram(waveforms, spec_cfg, sample_rate)
+    db = melspec.amplitude_to_db(mel, spec_cfg.top_db)
+    if augment is not None and augment.enabled and rng is not None:
+        db = masking.spec_augment(
+            rng, db, augment.freq_mask_param, augment.time_mask_param
+        )
+    z = melspec.standardize(db, spec_cfg.eps)
+    z = jax.image.resize(
+        z, (z.shape[0], spec_cfg.out_size, spec_cfg.out_size), method="linear"
+    )
+    return melspec.replicate_channels(z, spec_cfg.out_channels)
+
+
+# ---------------------------------------------------------------------------
+# Steps
+# ---------------------------------------------------------------------------
+
+def make_train_step(
+    model: BinaryClassifier,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    spec_cfg: SpectrogramConfig,
+    augment: Optional[SpecAugmentConfig] = None,
+    sample_rate: int = 32_000,
+    from_waveforms: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: {'audio': [B, T] or 'image': [B, S, S, 3], 'label': [B] int32}.
+    One XLA program: feature extraction + fwd + bwd + masked update + NaN skip.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng_mask, rng_drop = jax.random.split(rng)
+        if from_waveforms:
+            x = _features_from_waveforms(
+                batch["audio"], spec_cfg, augment, rng_mask, sample_rate
+            )
+        else:
+            x = batch["image"]
+        labels = batch["label"]
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+            loss = cross_entropy(out, labels)
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        # freeze mask: zero out gradients of frozen params BEFORE the optimizer
+        # so Adam moments don't accumulate on them
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, state.param_mask)
+
+        # plateau lr scale enters through the injected hyperparam
+        opt_state = state.opt_state
+        opt_state.hyperparams["lr"] = cfg.lr * state.lr_scale
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u * m, updates, state.param_mask
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN/Inf guard: keep the old state entirely (reference skips the
+        # batch, submodel_trainer.py:266-271)
+        ok = jnp.isfinite(loss)
+
+        def commit(_):
+            return dataclasses.replace(
+                state,
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+            )
+
+        def skip(_):
+            return dataclasses.replace(state, step=state.step + 1)
+
+        new_state = jax.lax.cond(ok, commit, skip, None)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        metrics = {"loss": loss, "accuracy": acc, "skipped": (~ok).astype(jnp.float32)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model: BinaryClassifier,
+    spec_cfg: SpectrogramConfig,
+    sample_rate: int = 32_000,
+    from_waveforms: bool = True,
+) -> Callable:
+    """eval_step(variables, batch) -> per-batch sufficient statistics
+    (loss-sum, correct-count, per-class confusion counts) so the host can
+    aggregate the reference's classification report (submodel_trainer.py:376-383)."""
+
+    def eval_step(variables, batch):
+        if from_waveforms:
+            x = _features_from_waveforms(
+                batch["audio"], spec_cfg, None, None, sample_rate
+            )
+        else:
+            x = batch["image"]
+        labels = batch["label"]
+        logits = model.apply(variables, x, train=False)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        loss_sum = -jnp.take_along_axis(logp, labels[:, None], -1).sum()
+        pred = jnp.argmax(logits, -1)
+        # 2x2 confusion: rows = true, cols = pred
+        conf = jnp.zeros((2, 2), jnp.int32).at[labels, pred].add(1)
+        return {"loss_sum": loss_sum, "confusion": conf, "count": labels.shape[0]}
+
+    return eval_step

@@ -10,7 +10,9 @@ from synthetic_audio_detection_tpu.audio import wavio
 
 
 def test_pcm16_roundtrip(tmp_path, rng):
-    x = (rng.standard_normal((2, 4000)) * 0.3).astype(np.float32)
+    # keep strictly inside [-1, 1]: PCM clamps values beyond full scale,
+    # which no roundtrip can undo
+    x = np.clip(rng.standard_normal((2, 4000)) * 0.3, -0.999, 0.999).astype(np.float32)
     p = tmp_path / "a.wav"
     wavio.write_wav(p, x, 32000, subtype="PCM_16")
     y, sr = wavio.read_wav(p)
@@ -32,7 +34,10 @@ def test_matches_stdlib_wave_module(tmp_path, rng):
     """Our writer must produce files the stdlib can parse, and our reader must
     agree with the stdlib on stdlib-written files."""
     x = (rng.standard_normal(2048) * 0.5).astype(np.float32)
-    pcm = (np.clip(x, -1, 1) * 32767).round().astype("<i2")
+    # libsndfile float→PCM16 semantics (scale 32768, round, clamp)
+    pcm = np.clip(
+        np.round(np.clip(x, -1, 1).astype(np.float64) * 32768.0), -32768, 32767
+    ).astype("<i2")
 
     p = tmp_path / "std.wav"
     with wave.open(str(p), "wb") as w:

@@ -1,0 +1,150 @@
+"""Minimal torch ResNet + binary head mirroring the reference topology, used
+ONLY as a test oracle (timm/torchvision are not installed here).
+
+Topology follows the reference's timm ResNet v1.5 backbones plus the custom
+MLP head (reference: model_merger.py:18-40, submodel_trainer.py:613-625):
+7x7/2 stem → BN → ReLU → 3x3/2 maxpool → 4 stages (stride on the 3x3 in
+bottlenecks) → head(AdaptiveAvgPool → Flatten → Linear(F,512) → BN → ReLU →
+Dropout → Linear(512,256) → BN → ReLU → Dropout → Linear(256,2)).
+State-dict key space matches timm/torchvision (conv1, bn1, layer1.0.conv1,
+downsample.0, ...) so checkpoints written from these modules exercise the real
+import path.
+"""
+
+from __future__ import annotations
+
+import torch
+import torch.nn as nn
+
+
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, 1, 0, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)  # v1.5
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, 1, 0, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+_SPECS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+    "resnet101": (Bottleneck, (3, 4, 23, 3)),
+    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+class TorchResNetFeatures(nn.Module):
+    """Backbone returning the un-pooled feature map (timm forward_features)."""
+
+    def __init__(self, name="resnet18"):
+        super().__init__()
+        block, layers = _SPECS[name]
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = self._make_layer(block, 64, layers[0], 1)
+        self.layer2 = self._make_layer(block, 128, layers[1], 2)
+        self.layer3 = self._make_layer(block, 256, layers[2], 2)
+        self.layer4 = self._make_layer(block, 512, layers[3], 2)
+        self.num_features = 512 * block.expansion
+
+    def _make_layer(self, block, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * block.expansion, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * block.expansion),
+            )
+        layers = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * block.expansion
+        layers += [block(self.inplanes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+def make_head(num_features: int) -> nn.Sequential:
+    """The reference custom head (model_merger.py:25-37), same Sequential
+    indices so state-dict keys match (head.2, head.3, head.6, head.7, head.10)."""
+    return nn.Sequential(
+        nn.AdaptiveAvgPool2d(1),
+        nn.Flatten(),
+        nn.Linear(num_features, 512),
+        nn.BatchNorm1d(512),
+        nn.ReLU(),
+        nn.Dropout(0.5),
+        nn.Linear(512, 256),
+        nn.BatchNorm1d(256),
+        nn.ReLU(),
+        nn.Dropout(0.3),
+        nn.Linear(256, 2),
+    )
+
+
+class TorchBinaryClassifier(nn.Module):
+    """Reference BinaryClassifier (model_merger.py:18-40): head over the
+    un-pooled feature map."""
+
+    def __init__(self, backbone="resnet18"):
+        super().__init__()
+        self.base = TorchResNetFeatures(backbone)
+        self.head = make_head(self.base.num_features)
+
+    def forward(self, x):
+        return self.head(self.base(x))
+
+
+def randomize_bn_stats(module: nn.Module, seed: int = 0) -> None:
+    """Give BN layers non-trivial running stats so eval-mode parity tests are
+    meaningful (fresh BN has mean 0 / var 1, which would mask transpose bugs)."""
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.75)
+            m.weight.data.copy_(torch.randn(m.weight.shape, generator=g) * 0.2 + 1.0)
+            m.bias.data.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
