@@ -2,13 +2,27 @@
 
 Measures the full serving path on one chip — waveform windows → fused mel
 front end (GEMM DFT on the MXU) → 6-head ResNet-18 ensemble → [B, N+1]
-logits — as ONE jitted program in bfloat16, mirroring BASELINE.json's
-north-star metric (≥25k 4-s segments/sec/chip on v5e end-to-end).
+logits — in bfloat16, mirroring BASELINE.json's north-star metric (≥25k 4-s
+segments/sec/chip end-to-end). The ensemble uses the shared-backbone layout,
+which is what reference-merged checkpoints actually contain (their
+strict=False load only matches head.* keys, so all sub-models share one
+backbone — SURVEY.md §2.2); the dense independent-backbone path is exercised
+by tests and __graft_entry__.
+
+Timing methodology: on tunneled TPU runtimes, ``block_until_ready`` can
+return before execution and a host transfer carries a large fixed latency —
+so wall-clocking a Python dispatch loop measures nothing. Instead the model
+forward is iterated *inside* one jitted program with ``lax.fori_loop`` (each
+iteration data-dependent on the last, so nothing can be elided or overlapped),
+and the per-iteration time is the difference between an N-iteration and a
+1-iteration program, each synchronized by one scalar transfer:
+
+    t_per_iter = (T(N) - T(1)) / (N - 1)
 
 Prints exactly one JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 vs_baseline is value / 25000 (the BASELINE.json target; the reference
-publishes no segments/sec number of its own — SURVEY.md §6).
+publishes no segments/sec figure of its own — SURVEY.md §6).
 """
 
 from __future__ import annotations
@@ -22,6 +36,29 @@ import jax.numpy as jnp
 import numpy as np
 
 TARGET_SEGS_PER_SEC = 25_000.0
+BATCH = 128
+ITERS = 11  # difference against 1 → 10 timed iterations
+
+
+def _looped(fwd, n_iters: int):
+    """One jitted program running `n_iters` serially-dependent forwards."""
+
+    def run(variables, windows):
+        def body(_, carry):
+            acc, w = carry
+            out = fwd(variables, w)
+            contrib = jnp.sum(out).astype(jnp.float32)
+            # chain: perturb the input by an output-dependent epsilon so
+            # iteration i+1 depends on iteration i (no elision / reordering)
+            w = w + (contrib * 1e-30).astype(w.dtype)
+            return acc + contrib, w
+
+        acc, _ = jax.lax.fori_loop(
+            0, n_iters, body, (jnp.float32(0.0), windows)
+        )
+        return acc
+
+    return jax.jit(run, static_argnums=())
 
 
 def main() -> None:
@@ -29,38 +66,41 @@ def main() -> None:
     from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 
-    batch = int(jax.device_count() and 128)
-    ens = _flagship_ensemble()
+    ens = _flagship_ensemble(n_heads=6, shared_backbone=True)
     spec_cfg = SpectrogramConfig.inference()
-    fwd = jax.jit(
-        functools.partial(
-            _forward_windows,
-            ensemble=ens,
-            spec_cfg=spec_cfg,
-            sample_rate=32_000,
-            use_gemm_dft=True,
-            compute_dtype=jnp.bfloat16,
-        )
+    fwd = functools.partial(
+        _forward_windows,
+        ensemble=ens,
+        spec_cfg=spec_cfg,
+        sample_rate=32_000,
+        use_gemm_dft=True,
+        compute_dtype=jnp.bfloat16,
     )
 
     rng = np.random.default_rng(0)
     windows = jnp.asarray(
-        rng.standard_normal((batch, 128_000)).astype(np.float32) * 0.3
+        rng.standard_normal((BATCH, 128_000)).astype(np.float32) * 0.3
     )
     variables = jax.device_put(ens.variables)
 
-    # compile + warmup
-    jax.block_until_ready(fwd(variables, windows))
+    run1 = _looped(fwd, 1)
+    runN = _looped(fwd, ITERS)
 
-    # steady state: enough iterations for a stable estimate
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, windows)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # compile both (untimed) and absorb the first-transfer latency
+    float(run1(variables, windows))
+    float(runN(variables, windows))
 
-    segs_per_sec = batch * iters / dt
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        float(fn(variables, windows))  # scalar transfer = the only real sync
+        return time.perf_counter() - t0
+
+    # median of 3 to damp tunnel-latency jitter
+    t1 = sorted(timed(run1) for _ in range(3))[1]
+    tn = sorted(timed(runN) for _ in range(3))[1]
+    per_iter = max((tn - t1) / (ITERS - 1), 1e-9)
+
+    segs_per_sec = BATCH / per_iter
     print(
         json.dumps(
             {

@@ -40,8 +40,11 @@ from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
 
 def save_native(path: str, tree: Any, metadata: Optional[Dict[str, Any]] = None) -> None:
     """Serialize a pytree (params/variables/train state) as msgpack with an
-    optional JSON metadata sidecar embedded in the same file."""
-    tree = jax.tree_util.tree_map(np.asarray, tree)
+    optional JSON metadata sidecar embedded in the same file. Structured
+    containers (optax named tuples etc.) are flattened via flax
+    ``to_state_dict``; restore into a matching structure with
+    ``flax.serialization.from_state_dict``."""
+    tree = flax_ser.to_state_dict(jax.tree_util.tree_map(np.asarray, tree))
     payload = {"tree": tree, "metadata": metadata or {}}
     data = flax_ser.msgpack_serialize(payload)
     tmp = path + ".tmp"

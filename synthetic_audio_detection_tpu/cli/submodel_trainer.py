@@ -1,0 +1,95 @@
+"""Compat CLI: train one binary sub-model (Real vs one synthetic class).
+
+Flag surface mirrors the reference submodel_trainer.py:33-53 (--data-dir,
+--batch-size, --epochs, --lr, --workers, --seed, --checkpoint-dir, --resume,
+--evaluate, --Class0, --Class1, --model-name); --gpu/--num_gpus are accepted
+and ignored (JAX SPMD owns device parallelism — all local devices are used
+through the mesh automatically).
+
+Usage:
+    python -m synthetic_audio_detection_tpu.cli.submodel_trainer \
+        --data-dir ./dataset --Class0 Real --Class1 SynthA --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+BACKBONES = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Audio Classification Training")
+    p.add_argument("--data-dir", default="./dataset", type=str, help="Path to dataset")
+    p.add_argument("--batch-size", default=32, type=int, help="Batch size (files; each file yields 2 segments)")
+    p.add_argument("--epochs", default=100, type=int, help="Number of total epochs to run")
+    p.add_argument("--lr", default=0.001, type=float, help="Initial learning rate")
+    p.add_argument("--workers", default=20, type=int, help="Number of data loading workers")
+    p.add_argument("--seed", default=42, type=int, help="Seed for initializing training.")
+    p.add_argument("--gpu", default=0, type=int, help="Ignored (reference compatibility)")
+    p.add_argument("--num_gpus", default=1, type=int, help="Ignored (JAX uses all local devices)")
+    p.add_argument("--checkpoint-dir", default="./checkpoints", type=str)
+    p.add_argument("--resume", default="", type=str, help="Path to resume checkpoint")
+    p.add_argument("--evaluate", action="store_true", help="Evaluate model on validation set")
+    p.add_argument("--Class0", default="Real", type=str, help="Name of Class 0 eg. Real")
+    p.add_argument("--Class1", default="Class1", type=str, help="Name of Class 1 eg. Training platform")
+    p.add_argument("--model-name", default="resnet18", type=str, choices=BACKBONES)
+    p.add_argument("--log-dir", default="", type=str,
+                   help="TensorBoard log dir (default runs/experiment_<ts>)")
+    p.add_argument("--input-size", default=512, type=int,
+                   help="Spectrogram image size (512 = reference fidelity; "
+                   "smaller sizes trade accuracy for speed)")
+    return p
+
+
+def setup_logging(checkpoint_dir: str) -> None:
+    """File + console logging (reference setup_logging, submodel_trainer.py:56-66)."""
+    os.makedirs("logs", exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[
+            logging.FileHandler(os.path.join("logs", f"train_{int(time.time())}.log")),
+            logging.StreamHandler(),
+        ],
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.checkpoint_dir)
+
+    from synthetic_audio_detection_tpu.train.trainer import Trainer
+    from synthetic_audio_detection_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        data_dir=args.data_dir,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        workers=args.workers,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+        class0=args.Class0,
+        class1=args.Class1,
+    )
+    from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
+
+    spec_cfg = SpectrogramConfig(mel_norm=None, out_size=args.input_size)
+    trainer = Trainer(cfg, model_name=args.model_name, spec_cfg=spec_cfg,
+                      log_dir=args.log_dir or None)
+    if args.evaluate:
+        trainer.evaluate()
+        return 0
+    best = trainer.fit()
+    print(f"Best validation accuracy: {best:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -221,7 +221,7 @@ class InferencePipeline:
             for (s, e), lab in zip(stamps, labels)
         ]
         percentages = {
-            c: float(np.round(probs[:, j].mean() * 100.0, 2))
+            c: round(float(probs[:, j].astype(np.float64).mean()) * 100.0, 2)
             for j, c in enumerate(class_names)
         }
         return {"segments": segments, "percentages": percentages}

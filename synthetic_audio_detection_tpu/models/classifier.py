@@ -19,17 +19,24 @@ SYNTHETIC_INDEX = 1
 
 
 class BinaryClassifier(nn.Module):
-    """forward: [B, H, W, C] NHWC spectrogram image → [B, 2] logits."""
+    """forward: [B, H, W, C] NHWC spectrogram image → [B, num_outputs] logits.
+
+    num_outputs=2 is the modular sub-model contract; the legacy 5-class model
+    (legacy/source/train.py:566-578, head ends Linear(256, 5)) is the same
+    topology with num_outputs=5."""
 
     backbone: str = "resnet18"
     in_channels: int = 3
+    num_outputs: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         base = create_resnet(self.backbone, self.in_channels, self.dtype, module_name="base")
         feats = base(x, train=train)
-        return BinaryHead(dtype=self.dtype, name="head")(feats, train=train)
+        return BinaryHead(
+            num_outputs=self.num_outputs, dtype=self.dtype, name="head"
+        )(feats, train=train)
 
 
 def build_classifier(cfg: ModelConfig, in_channels: int = 3) -> BinaryClassifier:

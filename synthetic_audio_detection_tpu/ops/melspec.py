@@ -210,19 +210,18 @@ def mel_spectrogram(
     """[B, T] waveforms → [B, n_mels, n_frames] power-mel spectrograms."""
     frames = frame_signal(waveforms, cfg.n_fft, cfg.hop_length, cfg.center, cfg.pad_mode)
     window = jnp.asarray(hann_window(cfg.win))
-    fb = jnp.asarray(
-        mel_filterbank(
-            cfg.n_freqs, cfg.f_min, cfg.f_max, cfg.n_mels, sample_rate,
-            cfg.mel_norm, cfg.mel_scale,
-        )
+    fb_np = mel_filterbank(
+        cfg.n_freqs, cfg.f_min, cfg.f_max, cfg.n_mels, sample_rate,
+        cfg.mel_norm, cfg.mel_scale,
     )
     if use_gemm_dft:
-        # Only bins with nonzero mel weight contribute.
-        n_cols = int(np.max(np.nonzero(np.asarray(fb).sum(axis=1))[0])) + 1
+        # Only bins with nonzero mel weight contribute (host-side, static).
+        n_cols = int(np.max(np.nonzero(fb_np.sum(axis=1))[0])) + 1
         p = power_spectrogram_gemm(frames, window, n_cols, cfg.power)
-        fb = fb[:n_cols]
+        fb = jnp.asarray(fb_np[:n_cols])
     else:
         p = power_spectrogram(frames, window, cfg.power)
+        fb = jnp.asarray(fb_np)
     mel = jnp.einsum("btf,fm->btm", p, fb, preferred_element_type=jnp.float32)
     return jnp.transpose(mel, (0, 2, 1))
 

@@ -36,6 +36,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+from synthetic_audio_detection_tpu.ops import image as image_ops
 from synthetic_audio_detection_tpu.ops import masking, melspec
 from synthetic_audio_detection_tpu.utils.config import (
     SpecAugmentConfig,
@@ -130,9 +131,21 @@ def unfreeze_layer3(state: TrainState) -> TrainState:
 # Loss / forward
 # ---------------------------------------------------------------------------
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Mean CE over valid rows. `weights` (0/1 per row) masks out the zero
+    rows that pad a shrunken batch up to the static jit shape (the reference
+    instead shrinks the batch dynamically via custom_collate_fn,
+    submodel_trainer.py:221-238 — dynamic shapes are not an option under XLA)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if weights is None:
+        return nll.mean()
+    w = weights.astype(jnp.float32)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def _features_from_waveforms(
@@ -144,17 +157,23 @@ def _features_from_waveforms(
 ) -> jnp.ndarray:
     """[B, T] → [B, S, S, 3] standardized spectrogram images, with SpecAugment
     masking applied pre-normalization in train mode (submodel_trainer.py:194-197
-    applies masks to the dB spectrogram before standardize)."""
+    applies masks to the dB spectrogram before standardize) and
+    RandomResizedCrop applied post-resize (train transform,
+    submodel_trainer.py:465-467 via :207-208)."""
     mel = melspec.mel_spectrogram(waveforms, spec_cfg, sample_rate)
     db = melspec.amplitude_to_db(mel, spec_cfg.top_db)
-    if augment is not None and augment.enabled and rng is not None:
+    train_mode = augment is not None and augment.enabled and rng is not None
+    if train_mode:
+        rng_mask, rng_crop = jax.random.split(rng)
         db = masking.spec_augment(
-            rng, db, augment.freq_mask_param, augment.time_mask_param
+            rng_mask, db, augment.freq_mask_param, augment.time_mask_param
         )
     z = melspec.standardize(db, spec_cfg.eps)
     z = jax.image.resize(
         z, (z.shape[0], spec_cfg.out_size, spec_cfg.out_size), method="linear"
     )
+    if train_mode:
+        z = image_ops.random_resized_crop(rng_crop, z, scale=(0.8, 1.0))
     return melspec.replicate_channels(z, spec_cfg.out_channels)
 
 
@@ -186,6 +205,7 @@ def make_train_step(
         else:
             x = batch["image"]
         labels = batch["label"]
+        weights = batch.get("weight")
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -195,7 +215,7 @@ def make_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": rng_drop},
             )
-            loss = cross_entropy(out, labels)
+            loss = cross_entropy(out, labels, weights)
             return loss, (out, mutated["batch_stats"])
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -232,7 +252,12 @@ def make_train_step(
             return dataclasses.replace(state, step=state.step + 1)
 
         new_state = jax.lax.cond(ok, commit, skip, None)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        if weights is not None:
+            w = weights.astype(jnp.float32)
+            acc = (correct * w).sum() / jnp.maximum(w.sum(), 1.0)
+        else:
+            acc = correct.mean()
         metrics = {"loss": loss, "accuracy": acc, "skipped": (~ok).astype(jnp.float32)}
         return new_state, metrics
 
@@ -257,12 +282,16 @@ def make_eval_step(
         else:
             x = batch["image"]
         labels = batch["label"]
+        weights = batch.get("weight")
+        w = (weights if weights is not None
+             else jnp.ones_like(labels)).astype(jnp.float32)
         logits = model.apply(variables, x, train=False)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        loss_sum = -jnp.take_along_axis(logp, labels[:, None], -1).sum()
+        loss_sum = (-jnp.take_along_axis(logp, labels[:, None], -1)[:, 0] * w).sum()
         pred = jnp.argmax(logits, -1)
-        # 2x2 confusion: rows = true, cols = pred
-        conf = jnp.zeros((2, 2), jnp.int32).at[labels, pred].add(1)
-        return {"loss_sum": loss_sum, "confusion": conf, "count": labels.shape[0]}
+        n_cls = logits.shape[-1]
+        # confusion: rows = true, cols = pred (pad rows weighted out)
+        conf = jnp.zeros((n_cls, n_cls), jnp.float32).at[labels, pred].add(w)
+        return {"loss_sum": loss_sum, "confusion": conf, "count": w.sum()}
 
     return eval_step

@@ -1,0 +1,290 @@
+"""Host-side training orchestration for one binary head.
+
+Reproduces the reference main-loop behavior (submodel_trainer.py:531-727):
+seeded init, frozen-backbone start, layer3 unfreeze at epochs//3, per-epoch
+train + validate, ReduceLROnPlateau on val loss, classification report each
+epoch, best-val-accuracy checkpointing with full resume (epoch, params,
+optimizer, scheduler, step counter), TensorBoard scalars every
+``log_every_steps`` and per epoch, and a final --evaluate pass with confusion
+matrix.
+
+TPU-native layout: the host loop only moves file bytes and scalars; mel
+features, fwd/bwd, the masked-AdamW update, and the NaN guard all live in ONE
+jitted step (train/steps.py). Batches are padded to a static shape with 0/1
+row weights instead of the reference's dynamically-shrinking collate.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synthetic_audio_detection_tpu.checkpoints import serialization
+from synthetic_audio_detection_tpu.data import dataset as ds
+from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+from synthetic_audio_detection_tpu.parallel import sharding as sh
+from synthetic_audio_detection_tpu.train import steps
+from synthetic_audio_detection_tpu.train.plateau import PlateauState
+from synthetic_audio_detection_tpu.utils import metrics as metrics_mod
+from synthetic_audio_detection_tpu.utils.config import (
+    SpecAugmentConfig,
+    SpectrogramConfig,
+    TrainConfig,
+)
+from synthetic_audio_detection_tpu.utils.tb_writer import SummaryWriter
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class EpochResult:
+    train_loss: float = 0.0
+    train_acc: float = 0.0
+    val_loss: float = 0.0
+    val_acc: float = 0.0
+    report: Dict[str, Dict[str, float]] = field(default_factory=dict)
+    confusion: Optional[np.ndarray] = None
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        model_name: str = "resnet18",
+        spec_cfg: Optional[SpectrogramConfig] = None,
+        augment: Optional[SpecAugmentConfig] = None,
+        log_dir: Optional[str] = None,
+        use_mesh: bool = True,
+        class_names: Optional[List[str]] = None,
+    ):
+        self.cfg = cfg
+        self.spec_cfg = spec_cfg or SpectrogramConfig.train()
+        self.augment = augment or SpecAugmentConfig()
+        self.class_names = list(class_names) if class_names else [cfg.class0, cfg.class1]
+        self.model = BinaryClassifier(
+            backbone=model_name, num_outputs=len(self.class_names)
+        )
+        self.model_name = model_name
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state, self.tx = steps.create_train_state(
+            self.model, init_rng, cfg, input_size=self.spec_cfg.out_size
+        )
+        self.plateau = PlateauState(cfg.plateau_factor, cfg.plateau_patience)
+        self.best_acc = 0.0
+        self.start_epoch = 0
+        self.layer3_unfrozen = False
+
+        self.mesh = sh.create_mesh() if use_mesh and jax.device_count() > 1 else None
+        self._train_step = jax.jit(
+            steps.make_train_step(
+                self.model, self.tx, cfg, self.spec_cfg, self.augment
+            ),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            steps.make_eval_step(self.model, self.spec_cfg)
+        )
+        self.writer = SummaryWriter(
+            log_dir or os.path.join("runs", f"experiment_{int(time.time())}")
+        )
+
+        if cfg.resume:
+            self.resume(cfg.resume)
+
+    # -- checkpointing -------------------------------------------------------
+
+    def checkpoint_payload(self, epoch: int) -> Dict[str, Any]:
+        return {
+            "epoch": epoch,
+            "variables": jax.tree_util.tree_map(
+                np.asarray, self.state.variables()
+            ),
+            "opt_state": jax.tree_util.tree_map(
+                np.asarray, self.state.opt_state
+            ),
+            "best_acc": float(self.best_acc),
+            "total_steps": int(self.state.step),
+            "scheduler": self.plateau.state_dict(),
+            "layer3_unfrozen": self.layer3_unfrozen,
+        }
+
+    def save_checkpoint(self, epoch: int, path: str) -> None:
+        payload = self.checkpoint_payload(epoch)
+        scheduler = payload.pop("scheduler")
+        extra = {
+            "epoch": payload.pop("epoch"),
+            "best_acc": payload.pop("best_acc"),
+            "total_steps": payload.pop("total_steps"),
+            "layer3_unfrozen": payload.pop("layer3_unfrozen"),
+            "scheduler": scheduler,
+            "model_name": self.model_name,
+            "class_names": self.class_names,
+        }
+        serialization.save_native(path, payload, metadata=extra)
+        # torch-contract twin so reference tooling can read our checkpoints
+        serialization.save_submodel_torch(
+            path + ".pth",
+            payload["variables"],
+            epoch=extra["epoch"],
+            best_acc=extra["best_acc"],
+            total_steps=extra["total_steps"],
+        )
+
+    def resume(self, path: str) -> None:
+        """Restore params/opt/scheduler/step (reference --resume restores all,
+        submodel_trainer.py:669-682). Accepts native or torch checkpoints."""
+        if path.endswith((".pth", ".pt")):
+            variables, extras = serialization.load_submodel_torch(path)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+            )
+            self.start_epoch = int(extras.get("epoch", 0))
+            self.best_acc = float(extras.get("best_acc", 0.0))
+            log.info("resumed (torch ckpt) at epoch %d", self.start_epoch)
+            return
+        from flax import serialization as flax_ser
+
+        tree, meta = serialization.load_native(path)
+        self.state = self.state.replace(
+            params=tree["variables"]["params"],
+            batch_stats=tree["variables"]["batch_stats"],
+            opt_state=flax_ser.from_state_dict(
+                self.state.opt_state, tree["opt_state"]
+            ),
+            step=jnp.asarray(meta.get("total_steps", 0), jnp.int32),
+        )
+        self.plateau = PlateauState.from_state_dict(meta["scheduler"])
+        self.state = self.state.replace(
+            lr_scale=jnp.asarray(self.plateau.scale, jnp.float32)
+        )
+        self.best_acc = float(meta.get("best_acc", 0.0))
+        self.start_epoch = int(meta.get("epoch", 0))
+        if meta.get("layer3_unfrozen"):
+            self.state = steps.unfreeze_layer3(self.state)
+            self.layer3_unfrozen = True
+        log.info("resumed at epoch %d (best_acc %.4f)", self.start_epoch, self.best_acc)
+
+    # -- epochs ---------------------------------------------------------------
+
+    def _batches(self, batcher: ds.WaveformBatcher, epoch: int, target_rows: int):
+        for batch in batcher.epoch(epoch):
+            padded, n = ds.pad_batch(batch, target_rows)
+            padded["weight"] = (
+                np.arange(target_rows) < n
+            ).astype(np.float32)
+            if self.mesh is not None:
+                padded = sh.shard_batch(self.mesh, padded)
+            yield padded
+
+    def train_epoch(self, batcher: ds.WaveformBatcher, epoch: int) -> Dict[str, float]:
+        target_rows = 2 * batcher.batch_size
+        losses, accs = [], []
+        t0 = time.time()
+        for i, batch in enumerate(self._batches(batcher, epoch, target_rows)):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, m = self._train_step(self.state, batch, step_rng)
+            if (i + 1) % self.cfg.log_every_steps == 0:
+                loss = float(m["loss"])
+                acc = float(m["accuracy"])
+                losses.append(loss)
+                accs.append(acc)
+                step = int(self.state.step)
+                lr = self.cfg.lr * float(self.state.lr_scale)
+                self.writer.add_scalar("train/loss", loss, step)
+                self.writer.add_scalar("train/accuracy", acc, step)
+                self.writer.add_scalar("train/lr", lr, step)
+                log.info(
+                    "epoch %d step %d loss %.4f acc %.4f (%.1f rows/s)",
+                    epoch, step, loss, acc,
+                    (i + 1) * target_rows / (time.time() - t0),
+                )
+        if not losses:  # short epochs: still report something
+            m = jax.tree_util.tree_map(float, m) if "m" in dir() else {"loss": 0.0, "accuracy": 0.0}
+            losses, accs = [m["loss"]], [m["accuracy"]]
+        return {"loss": float(np.mean(losses)), "accuracy": float(np.mean(accs))}
+
+    def validate(self, batcher: ds.WaveformBatcher, epoch: int) -> EpochResult:
+        target_rows = 2 * batcher.batch_size
+        loss_sum = 0.0
+        n_cls = len(self.class_names)
+        confusion = np.zeros((n_cls, n_cls), np.float64)
+        count = 0.0
+        variables = self.state.variables()
+        for batch in self._batches(batcher, epoch, target_rows):
+            stats = self._eval_step(variables, batch)
+            loss_sum += float(stats["loss_sum"])
+            confusion += np.asarray(stats["confusion"], np.float64)
+            count += float(stats["count"])
+        result = EpochResult()
+        result.val_loss = loss_sum / max(count, 1.0)
+        result.val_acc = float(np.trace(confusion) / max(count, 1.0))
+        result.report = metrics_mod.report_from_confusion(confusion, self.class_names)
+        result.confusion = confusion
+        return result
+
+    def fit(self, data_dir: Optional[str] = None) -> float:
+        cfg = self.cfg
+        data_dir = data_dir or cfg.data_dir
+        train_samples = ds.list_samples(data_dir, "train", self.class_names)
+        val_samples = ds.list_samples(data_dir, "test", self.class_names)
+        train_batcher = ds.WaveformBatcher(
+            train_samples, cfg.batch_size, shuffle=True,
+            workers=cfg.workers, seed=cfg.seed,
+        )
+        val_batcher = ds.WaveformBatcher(
+            val_samples, cfg.batch_size, shuffle=False, workers=cfg.workers
+        )
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        unfreeze_epoch = int(cfg.epochs * cfg.unfreeze_layer3_at_fraction)
+
+        for epoch in range(self.start_epoch, cfg.epochs):
+            if epoch == unfreeze_epoch and not self.layer3_unfrozen:
+                self.state = steps.unfreeze_layer3(self.state)
+                self.layer3_unfrozen = True
+                log.info("epoch %d: unfroze layer3 (epochs//3 schedule)", epoch)
+
+            tr = self.train_epoch(train_batcher, epoch)
+            result = self.validate(val_batcher, epoch)
+            scale = self.plateau.update(result.val_loss)
+            self.state = self.state.replace(
+                lr_scale=jnp.asarray(scale, jnp.float32)
+            )
+
+            self.writer.add_scalar("epoch/train_loss", tr["loss"], epoch)
+            self.writer.add_scalar("epoch/val_loss", result.val_loss, epoch)
+            self.writer.add_scalar("epoch/val_accuracy", result.val_acc, epoch)
+            log.info(
+                "epoch %d: train loss %.4f | val loss %.4f acc %.4f | lr scale %.4f",
+                epoch, tr["loss"], result.val_loss, result.val_acc, scale,
+            )
+            log.info("\n%s", metrics_mod.format_report(result.report))
+
+            if result.val_acc > self.best_acc:
+                self.best_acc = result.val_acc
+                path = os.path.join(cfg.checkpoint_dir, "best_model.ckpt")
+                self.save_checkpoint(epoch, path)
+                log.info("saved best checkpoint (acc %.4f) -> %s", self.best_acc, path)
+        return self.best_acc
+
+    def evaluate(self, data_dir: Optional[str] = None) -> EpochResult:
+        """--evaluate mode: confusion matrix + per-class accuracy on test
+        (submodel_trainer.py:388-460)."""
+        data_dir = data_dir or self.cfg.data_dir
+        samples = ds.list_samples(data_dir, "test", self.class_names)
+        batcher = ds.WaveformBatcher(
+            samples, self.cfg.batch_size, shuffle=False, workers=self.cfg.workers
+        )
+        result = self.validate(batcher, 0)
+        log.info("\n%s", metrics_mod.format_confusion(result.confusion, self.class_names))
+        log.info("\n%s", metrics_mod.format_report(result.report))
+        return result
