@@ -68,6 +68,7 @@ def main() -> None:
 
     ens = _flagship_ensemble(n_heads=6, shared_backbone=True)
     spec_cfg = SpectrogramConfig.inference()
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     fwd = functools.partial(
         _forward_windows,
         ensemble=ens,
@@ -75,6 +76,7 @@ def main() -> None:
         sample_rate=32_000,
         use_gemm_dft=True,
         compute_dtype=jnp.bfloat16,
+        use_pallas=on_tpu,  # fused mel kernel on TPU
     )
 
     rng = np.random.default_rng(0)

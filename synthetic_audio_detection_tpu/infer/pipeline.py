@@ -109,13 +109,25 @@ def _forward_windows(
     sample_rate: int,
     use_gemm_dft: bool,
     compute_dtype: Any,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """[B, T] waveform windows → [B, N+1] ensemble logits. Fully jitted:
-    mel front end + channel fold + vmapped multi-head forward in one program."""
-    feats = melspec.log_mel_features(
-        windows, spec_cfg, sample_rate, use_gemm_dft=use_gemm_dft,
-        out_dtype=compute_dtype,
-    )  # [B, 512, 512]
+    mel front end + channel fold + vmapped multi-head forward in one program.
+    use_pallas=True routes the mel front end through the fused Pallas kernel
+    (ops.pallas_melspec) — TPU only."""
+    if use_pallas:
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+
+        z = fused_log_mel(windows, spec_cfg, sample_rate)  # [B, mels, frames]
+        feats = jax.image.resize(
+            z, (z.shape[0], spec_cfg.out_size, spec_cfg.out_size),
+            method="linear",
+        ).astype(compute_dtype)
+    else:
+        feats = melspec.log_mel_features(
+            windows, spec_cfg, sample_rate, use_gemm_dft=use_gemm_dft,
+            out_dtype=compute_dtype,
+        )  # [B, 512, 512]
     x = melspec.replicate_channels(feats, spec_cfg.out_channels)  # [B,512,512,3]
     ens = dataclasses.replace(ensemble, variables=variables)
     return ensemble_forward(ens, x)
@@ -138,6 +150,7 @@ class InferencePipeline:
         use_gemm_dft: bool = True,
         compute_dtype: Any = jnp.float32,
         donate_windows: bool = False,
+        use_pallas: Optional[bool] = None,
     ):
         self.ensemble = ensemble
         self.audio = audio or AudioConfig()
@@ -145,6 +158,10 @@ class InferencePipeline:
         self.infer = infer or InferenceConfig()
         self.use_gemm_dft = use_gemm_dft
         self.compute_dtype = compute_dtype
+        if use_pallas is None:
+            # TPU backends: native 'tpu' or tunneled plugins exposing TPU devices
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        self.use_pallas = use_pallas
 
         fwd = functools.partial(
             _forward_windows,
@@ -153,6 +170,7 @@ class InferencePipeline:
             sample_rate=self.audio.sample_rate,
             use_gemm_dft=self.use_gemm_dft,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
         self._jit_fwd = jax.jit(fwd, donate_argnums=(1,) if donate_windows else ())
 

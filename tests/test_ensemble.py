@@ -1,0 +1,132 @@
+"""Ensemble aggregation + decision-rule tests (SURVEY.md §4 plan c:
+property tests of the any-strong-synthetic rule; model_merger.py:75-91,
+inference_runner.py:194-214 semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from synthetic_audio_detection_tpu.ensemble.multihead import (
+    _aggregate,
+    decide,
+    labels_from_indices,
+)
+
+
+def test_aggregate_layout():
+    # [N=3, B=2, 2] with distinct values: check [syn_1..syn_N, mean(real)]
+    logits = np.zeros((3, 2, 2), np.float32)
+    logits[:, 0, 0] = [1.0, 2.0, 3.0]   # real logits, item 0
+    logits[:, 0, 1] = [10.0, 20.0, 30.0]  # synthetic logits, item 0
+    logits[:, 1, 0] = [4.0, 4.0, 4.0]
+    logits[:, 1, 1] = [-1.0, -2.0, -3.0]
+    out = np.asarray(_aggregate(jnp.asarray(logits)))
+    assert out.shape == (2, 4)
+    np.testing.assert_allclose(out[0], [10.0, 20.0, 30.0, 2.0])
+    np.testing.assert_allclose(out[1], [-1.0, -2.0, -3.0, 4.0])
+
+
+def test_decide_real_requires_unanimity():
+    # real mean high, all syn low → Real
+    logits = jnp.asarray([[-3.0, -4.0, -5.0, 2.0]])
+    v = decide(logits, threshold=0.5)
+    assert int(v["label_idx"][0]) == 3 and bool(v["is_real"][0])
+
+
+def test_decide_any_strong_synthetic_wins():
+    # one confident synthetic head flips the verdict even with high real
+    logits = jnp.asarray([[-3.0, 4.0, -5.0, 6.0]])
+    v = decide(logits, threshold=0.5)
+    assert not bool(v["is_real"][0])
+    assert int(v["label_idx"][0]) == 1  # argmax over synthetic heads
+
+
+def test_decide_low_real_also_synthetic():
+    # real below threshold → synthetic argmax even if all syn below threshold
+    logits = jnp.asarray([[-1.0, -0.5, -2.0, -3.0]])
+    v = decide(logits, threshold=0.5)
+    assert not bool(v["is_real"][0])
+    assert int(v["label_idx"][0]) == 1
+
+
+def test_decide_property_random(rng):
+    """Property: is_real == (sigmoid(real) >= t) AND all(sigmoid(syn) < t)."""
+    logits = rng.standard_normal((64, 7)).astype(np.float32) * 3
+    t = 0.5
+    v = decide(jnp.asarray(logits), threshold=t)
+    probs = 1 / (1 + np.exp(-logits))
+    expect_real = (probs[:, -1] >= t) & np.all(probs[:, :-1] < t, axis=1)
+    np.testing.assert_array_equal(np.asarray(v["is_real"]), expect_real)
+    # labels: Real index == N when real, else argmax syn
+    lab = np.asarray(v["label_idx"])
+    n = logits.shape[1] - 1
+    np.testing.assert_array_equal(lab[expect_real], n)
+    np.testing.assert_array_equal(
+        lab[~expect_real], probs[~expect_real, :-1].argmax(1)
+    )
+
+
+def test_labels_from_indices():
+    names = labels_from_indices(
+        np.array([0, 2, 1]), ["SynA", "SynB"], "Real"
+    )
+    assert names == ["SynA", "Real", "SynB"]
+
+
+def test_vmap_matches_loop(rng):
+    """Stacked-vmap ensemble forward == per-model python loop (the reference's
+    formulation, model_merger.py:78-85) on a tiny model."""
+    from synthetic_audio_detection_tpu.ensemble.multihead import (
+        build_ensemble,
+        ensemble_forward,
+    )
+    from synthetic_audio_detection_tpu.models.classifier import (
+        BinaryClassifier,
+        init_classifier,
+    )
+
+    model = BinaryClassifier(backbone="resnet18")
+    vds = [init_classifier(model, jax.random.PRNGKey(i)) for i in range(3)]
+    ens = build_ensemble(model, vds, ["A", "B", "C", "Real"],
+                         detect_shared_backbone=False)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    fused = np.asarray(ensemble_forward(ens, x))
+
+    per_head = [np.asarray(model.apply(v, x, train=False)) for v in vds]
+    syn = np.stack([p[:, 1] for p in per_head], axis=1)
+    real = np.mean(np.stack([p[:, 0] for p in per_head], axis=1), axis=1,
+                   keepdims=True)
+    expect = np.concatenate([syn, real], axis=1)
+    np.testing.assert_allclose(fused, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_shared_backbone_path_matches_dense(rng):
+    """shared_backbone=True fast path must equal the dense path when all
+    backbones are identical (the reference-merged checkpoint case)."""
+    from synthetic_audio_detection_tpu.ensemble.multihead import (
+        build_ensemble,
+        ensemble_forward,
+    )
+    from synthetic_audio_detection_tpu.models.classifier import (
+        BinaryClassifier,
+        init_classifier,
+    )
+    import dataclasses
+
+    model = BinaryClassifier(backbone="resnet18")
+    base = init_classifier(model, jax.random.PRNGKey(0))
+    vds = []
+    for i in range(2):
+        v = init_classifier(model, jax.random.PRNGKey(10 + i))
+        v["params"]["base"] = base["params"]["base"]
+        v["batch_stats"]["base"] = base["batch_stats"]["base"]
+        vds.append(v)
+    ens = build_ensemble(model, vds, ["A", "B", "Real"])
+    assert ens.shared_backbone  # auto-detected
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    fast = np.asarray(ensemble_forward(ens, x))
+    dense = np.asarray(
+        ensemble_forward(dataclasses.replace(ens, shared_backbone=False), x)
+    )
+    np.testing.assert_allclose(fast, dense, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,42 @@
+"""Fused Pallas mel kernel vs the reference jnp pipeline (interpret mode on
+CPU; the same kernel compiles for TPU — exercised by bench/serving)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from synthetic_audio_detection_tpu.ops import melspec as M
+from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
+
+
+@pytest.mark.parametrize("norm", [None, "slaney"])
+def test_fused_matches_reference_pipeline(rng, norm):
+    cfg = SpectrogramConfig(mel_norm=norm)
+    x = (rng.standard_normal((2, 128_000)) * 0.3).astype(np.float32)
+
+    got = np.asarray(fused_log_mel(jnp.asarray(x), cfg, interpret=True))
+
+    mel = M.mel_spectrogram(jnp.asarray(x), cfg, 32_000, use_gemm_dft=True)
+    db = M.amplitude_to_db(mel, cfg.top_db)
+    ref = np.asarray(M.standardize(db, cfg.eps))
+
+    assert got.shape == ref.shape == (2, 128, 251)
+    # bf16 DFT matmuls inside the kernel vs f32 outside: allow bf16-level
+    # relative error on the standardized output
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+    # distribution-level agreement is tight
+    assert abs(got.mean() - ref.mean()) < 1e-3
+    assert abs(got.std() - ref.std()) < 1e-2
+
+
+def test_fused_short_window(rng):
+    """1 s windows (32000 samples) also satisfy the hop-divisibility rule."""
+    cfg = SpectrogramConfig()
+    x = (rng.standard_normal((1, 32_000)) * 0.2).astype(np.float32)
+    got = np.asarray(fused_log_mel(jnp.asarray(x), cfg, interpret=True))
+    assert got.shape == (1, 128, 63)
+    assert np.isfinite(got).all()
+    # standardized: near-zero mean, near-unit std over real cells
+    assert abs(got.mean()) < 1e-3
+    assert abs(got.std() - 1.0) < 0.05

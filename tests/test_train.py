@@ -1,0 +1,198 @@
+"""Training subsystem tests: plateau scheduler vs torch oracle, freeze masks,
+NaN-skip, TB event file readability, metrics report vs sklearn."""
+
+import io
+import os
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from synthetic_audio_detection_tpu.train.plateau import PlateauState
+from synthetic_audio_detection_tpu.utils import metrics as M
+from synthetic_audio_detection_tpu.utils.tb_writer import SummaryWriter, crc32c
+
+
+def test_plateau_matches_torch():
+    import torch
+
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=2
+    )
+    ours = PlateauState(factor=0.5, patience=2)
+    rng = np.random.default_rng(0)
+    vals = [1.0, 0.9, 0.95, 0.96, 0.97, 0.98, 0.5, 0.55, 0.56, 0.57, 0.58]
+    vals += list(rng.uniform(0.4, 0.6, 20))
+    for v in vals:
+        sch.step(float(v))
+        scale = ours.update(float(v))
+        torch_lr = opt.param_groups[0]["lr"]
+        assert scale == pytest.approx(torch_lr), (v, scale, torch_lr)
+
+
+def test_freeze_mask_prefixes():
+    from synthetic_audio_detection_tpu.train import steps
+
+    params = {
+        "base": {
+            "conv1": {"kernel": jnp.zeros(1)},
+            "layer3_0": {"conv1": {"kernel": jnp.zeros(1)}},
+            "layer4_1": {"bn2": {"scale": jnp.zeros(1)}},
+        },
+        "head": {"fc1": {"kernel": jnp.zeros(1)}},
+    }
+    m1 = steps.freeze_mask(params, steps.PHASE1_PREFIXES)
+    assert float(m1["base"]["conv1"]["kernel"]) == 0.0
+    assert float(m1["base"]["layer3_0"]["conv1"]["kernel"]) == 0.0
+    assert float(m1["base"]["layer4_1"]["bn2"]["scale"]) == 1.0
+    assert float(m1["head"]["fc1"]["kernel"]) == 1.0
+    m2 = steps.freeze_mask(params, steps.PHASE2_PREFIXES)
+    assert float(m2["base"]["layer3_0"]["conv1"]["kernel"]) == 1.0
+
+
+@pytest.fixture(scope="module")
+def tiny_train_setup():
+    from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+    from synthetic_audio_detection_tpu.train import steps
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpecAugmentConfig,
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    cfg = TrainConfig(batch_size=2, lr=1e-3)
+    spec = SpectrogramConfig(out_size=64)
+    model = BinaryClassifier(backbone="resnet18")
+    state, tx = steps.create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                         input_size=64)
+    step = jax.jit(steps.make_train_step(model, tx, cfg, spec,
+                                         SpecAugmentConfig()))
+    return state, step
+
+
+def _batch(nan=False):
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((4, 32000)).astype(np.float32) * 0.2
+    if nan:
+        audio[0, 0] = np.nan
+    return {
+        "audio": audio,
+        "label": np.array([0, 1, 0, 1], np.int32),
+        "weight": np.ones(4, np.float32),
+    }
+
+
+def test_train_step_updates_only_trainable(tiny_train_setup):
+    state, step = tiny_train_setup
+    new_state, m = step(state, _batch(), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["skipped"]) == 0.0
+    # frozen stem unchanged, trainable layer4/head changed
+    p0, p1 = state.params, new_state.params
+    np.testing.assert_array_equal(
+        p0["base"]["conv1"]["kernel"], p1["base"]["conv1"]["kernel"]
+    )
+    assert not np.allclose(
+        p0["head"]["fc1"]["kernel"], p1["head"]["fc1"]["kernel"]
+    )
+    assert not np.allclose(
+        p0["base"]["layer4_0"]["conv1"]["kernel"],
+        p1["base"]["layer4_0"]["conv1"]["kernel"],
+    )
+    assert np.allclose(
+        p0["base"]["layer1_0"]["conv1"]["kernel"],
+        p1["base"]["layer1_0"]["conv1"]["kernel"],
+    )
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_nan_batch_skips_update(tiny_train_setup):
+    state, step = tiny_train_setup
+    new_state, m = step(state, _batch(nan=True), jax.random.PRNGKey(2))
+    assert float(m["skipped"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == int(state.step) + 1  # step still counts
+
+
+def test_metrics_report_matches_sklearn(rng):
+    from sklearn.metrics import classification_report
+
+    y_true = rng.integers(0, 2, 200)
+    y_pred = rng.integers(0, 2, 200)
+    conf = np.zeros((2, 2))
+    np.add.at(conf, (y_true, y_pred), 1)
+    ours = M.report_from_confusion(conf, ["Real", "Syn"])
+    ref = classification_report(
+        y_true, y_pred, target_names=["Real", "Syn"], output_dict=True,
+        zero_division=0,
+    )
+    for cls in ("Real", "Syn", "macro avg", "weighted avg"):
+        for k in ("precision", "recall", "f1-score", "support"):
+            assert ours[cls][k] == pytest.approx(ref[cls][k]), (cls, k)
+    assert ours["accuracy"]["f1-score"] == pytest.approx(ref["accuracy"])
+
+
+def _read_tfrecords(path):
+    """Parse TFRecord framing back, verifying CRCs."""
+    records = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos < len(data):
+        (length,) = struct.unpack_from("<Q", data, pos)
+        (len_crc,) = struct.unpack_from("<I", data, pos + 8)
+        payload = data[pos + 12 : pos + 12 + length]
+        (payload_crc,) = struct.unpack_from("<I", data, pos + 12 + length)
+        header = data[pos : pos + 8]
+        crc = crc32c(header)
+        masked = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        assert masked == len_crc, "length CRC mismatch"
+        crc = crc32c(payload)
+        masked = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        assert masked == payload_crc, "payload CRC mismatch"
+        records.append(payload)
+        pos += 12 + length + 4
+    return records
+
+
+def test_tb_writer_produces_valid_tfrecords(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("train/loss", 0.5, 100)
+    w.add_scalar("train/accuracy", 0.9, 100)
+    w.close()
+    files = os.listdir(tmp_path)
+    assert len(files) == 1 and files[0].startswith("events.out.tfevents.")
+    records = _read_tfrecords(os.path.join(tmp_path, files[0]))
+    assert len(records) == 3  # file_version + 2 scalars
+    assert b"brain.Event:2" in records[0]
+    assert b"train/loss" in records[1]
+    # float 0.5 little-endian inside the scalar record
+    assert struct.pack("<f", 0.5) in records[1]
+    assert b"train/accuracy" in records[2]
+
+
+def test_tb_events_readable_by_tensorboard_if_available(tmp_path):
+    """If the tensorboard package exists, its own loader must parse our file."""
+    try:
+        from tensorboard.backend.event_processing.event_file_loader import (
+            RawEventFileLoader,
+        )
+        from tensorboard.compat.proto import event_pb2
+    except Exception:
+        pytest.skip("tensorboard not installed")
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("x", 1.25, 7)
+    w.close()
+    f = os.path.join(tmp_path, os.listdir(tmp_path)[0])
+    events = [event_pb2.Event.FromString(r) for r in RawEventFileLoader(f).Load()]
+    assert events[0].file_version == "brain.Event:2"
+    assert events[1].step == 7
+    assert events[1].summary.value[0].tag == "x"
+    assert events[1].summary.value[0].simple_value == 1.25
