@@ -1,0 +1,146 @@
+"""Parametrized throughput harness: segments/sec/chip across configurations.
+
+Covers BASELINE.json configs 2-3 (batched front end; merged 6-head ensemble
+batch inference) and supports the fidelity/speed trade-offs: input size,
+dtype, fused-Pallas vs jnp front end, shared vs dense backbones, head count,
+batch size.
+
+Timing uses the N-vs-1 chained fori_loop differencing from bench.py (honest on
+tunneled runtimes). Run:
+
+    python benchmarks/throughput.py --configs default fast
+    python benchmarks/throughput.py --batch 256 --heads 6 --input-size 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root
+
+
+def measure(fwd, variables, windows, iters: int = 11) -> float:
+    """Per-iteration seconds via N-vs-1 chained-loop differencing."""
+    from bench import _looped
+
+    run1 = _looped(fwd, 1)
+    runN = _looped(fwd, iters)
+    float(run1(variables, windows))
+    float(runN(variables, windows))
+    t0 = time.perf_counter(); float(run1(variables, windows)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(runN(variables, windows)); tn = time.perf_counter() - t0
+    return max((tn - t1) / (iters - 1), 1e-9)
+
+
+def bench_config(
+    batch: int,
+    heads: int,
+    input_size: int,
+    dtype: str,
+    use_pallas: bool,
+    shared_backbone: bool,
+    backbone: str = "resnet18",
+    mono: bool = False,
+) -> dict:
+    from __graft_entry__ import _flagship_ensemble
+    from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
+    from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
+    from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
+
+    ens = _flagship_ensemble(
+        n_heads=heads, backbone=backbone, shared_backbone=shared_backbone
+    )
+    if mono:
+        ens = fold_to_mono(ens)
+    spec = SpectrogramConfig(mel_norm="slaney", out_size=input_size)
+    fwd = functools.partial(
+        _forward_windows,
+        ensemble=ens,
+        spec_cfg=spec,
+        sample_rate=32_000,
+        use_gemm_dft=True,
+        compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+        use_pallas=use_pallas,
+    )
+    rng = np.random.default_rng(0)
+    windows = jnp.asarray(
+        rng.standard_normal((batch, 128_000)).astype(np.float32) * 0.3
+    )
+    variables = jax.device_put(ens.variables)
+    per_iter = measure(fwd, variables, windows)
+    return {
+        "batch": batch,
+        "heads": heads,
+        "input_size": input_size,
+        "dtype": dtype,
+        "pallas": use_pallas,
+        "shared_backbone": shared_backbone,
+        "backbone": backbone,
+        "mono": mono,
+        "ms_per_batch": round(per_iter * 1e3, 2),
+        "segments_per_sec": round(batch / per_iter, 1),
+    }
+
+
+PRESETS = {
+    # reference-fidelity merged-model serving (the bench.py config)
+    "default": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                    use_pallas=True, shared_backbone=True),
+    # fidelity-flag fast mode: 256x256 input
+    "fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
+                 use_pallas=True, shared_backbone=True),
+    # dense independent backbones (worst case)
+    "dense": dict(batch=32, heads=6, input_size=512, dtype="bf16",
+                  use_pallas=True, shared_backbone=False),
+    # single head (config 1 scaled up)
+    "single": dict(batch=128, heads=1, input_size=512, dtype="bf16",
+                   use_pallas=True, shared_backbone=False),
+    # jnp front end (no pallas) for A/B
+    "nopallas": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                     use_pallas=False, shared_backbone=True),
+    # mono-folded stem (exact transform, 3x less stem input)
+    "mono": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                 use_pallas=True, shared_backbone=True, mono=True),
+    # mono + 256^2 fast mode
+    "mono-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
+                      use_pallas=True, shared_backbone=True, mono=True),
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", nargs="*", default=["default"],
+                   choices=sorted(PRESETS))
+    p.add_argument("--batch", type=int)
+    p.add_argument("--heads", type=int)
+    p.add_argument("--input-size", type=int)
+    p.add_argument("--dtype", choices=["bf16", "f32"])
+    p.add_argument("--no-pallas", action="store_true")
+    args = p.parse_args()
+
+    for name in args.configs:
+        cfg = dict(PRESETS[name])
+        if args.batch:
+            cfg["batch"] = args.batch
+        if args.heads:
+            cfg["heads"] = args.heads
+        if args.input_size:
+            cfg["input_size"] = args.input_size
+        if args.dtype:
+            cfg["dtype"] = args.dtype
+        if args.no_pallas:
+            cfg["use_pallas"] = False
+        result = bench_config(**cfg)
+        print(json.dumps({"config": name, **result}))
+
+
+if __name__ == "__main__":
+    main()

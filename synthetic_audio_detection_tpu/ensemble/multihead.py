@@ -114,6 +114,30 @@ def build_ensemble(
     )
 
 
+def fold_to_mono(ens: MultiHeadEnsemble) -> MultiHeadEnsemble:
+    """Exact stem transform: the serving input triplicates one spectrogram
+    channel (reference `repeat(3,1,1)`, submodel_trainer.py:203), so summing
+    conv1's kernel over its input-channel axis yields a 1-channel model with
+    bit-identical outputs — 3× less stem bandwidth/compute on the TPU, where
+    tiny channel counts pad poorly onto the MXU (models.resnet.fold_rgb_conv).
+    Feed [B, H, W, 1] inputs to the returned ensemble."""
+    variables = jax.tree_util.tree_map(lambda x: x, ens.variables)  # shallow copy
+    params = dict(variables["params"])
+    base = dict(params["base"])
+    conv1 = dict(base["conv1"])
+    conv1["kernel"] = conv1["kernel"].sum(axis=-2, keepdims=True)
+    base["conv1"] = conv1
+    params["base"] = base
+    variables = {**variables, "params": params}
+    model = BinaryClassifier(
+        backbone=ens.model.backbone,
+        in_channels=1,
+        num_outputs=ens.model.num_outputs,
+        dtype=ens.model.dtype,
+    )
+    return dataclasses.replace(ens, model=model, variables=variables)
+
+
 def _aggregate(logits_nh: jnp.ndarray) -> jnp.ndarray:
     """[N, B, 2] per-head logits → [B, N+1] ensemble output."""
     syn = jnp.transpose(logits_nh[:, :, SYNTHETIC_INDEX])  # [B, N]

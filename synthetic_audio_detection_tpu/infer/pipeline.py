@@ -128,7 +128,12 @@ def _forward_windows(
             windows, spec_cfg, sample_rate, use_gemm_dft=use_gemm_dft,
             out_dtype=compute_dtype,
         )  # [B, 512, 512]
-    x = melspec.replicate_channels(feats, spec_cfg.out_channels)  # [B,512,512,3]
+    if ensemble.model.in_channels == 1:
+        # mono-folded stem (ensemble.fold_to_mono): identical logits,
+        # 3x less stem input
+        x = feats[..., None]
+    else:
+        x = melspec.replicate_channels(feats, spec_cfg.out_channels)
     ens = dataclasses.replace(ensemble, variables=variables)
     return ensemble_forward(ens, x)
 

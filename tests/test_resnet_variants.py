@@ -1,0 +1,50 @@
+"""Backbone-variant parity vs torch: bottleneck blocks (resnet50) and the
+full model zoo's shape contract (SURVEY.md §2.2 — ResNet-18/34/50/101/152)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from synthetic_audio_detection_tpu.checkpoints import torch_compat
+from synthetic_audio_detection_tpu.models.classifier import (
+    BinaryClassifier,
+    init_classifier,
+)
+from synthetic_audio_detection_tpu.models.resnet import backbone_num_features
+
+import torch_ref
+
+
+def test_resnet50_logit_parity(rng):
+    """Bottleneck topology (1x1 → 3x3-strided → 1x1, downsample) must
+    reproduce torch logits from imported weights."""
+    torch.manual_seed(11)
+    tm = torch_ref.TorchBinaryClassifier("resnet50")
+    torch_ref.randomize_bn_stats(tm, seed=5)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = torch_compat.classifier_variables_from_torch(sd, base_prefix="base.")
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    model = BinaryClassifier(backbone="resnet50")
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("name,feats", [
+    ("resnet18", 512), ("resnet34", 512), ("resnet50", 2048),
+    ("resnet101", 2048), ("resnet152", 2048),
+])
+def test_model_zoo_shapes(name, feats):
+    assert backbone_num_features(name) == feats
+    model = BinaryClassifier(backbone=name)
+    variables = init_classifier(model, jax.random.PRNGKey(0), input_size=64)
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 2)
+    # head fc1 consumes the right feature width
+    assert variables["params"]["head"]["fc1"]["kernel"].shape[0] == feats
