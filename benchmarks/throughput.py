@@ -49,6 +49,7 @@ def bench_config(
     shared_backbone: bool,
     backbone: str = "resnet18",
     mono: bool = False,
+    int8: bool = False,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -61,20 +62,48 @@ def bench_config(
     if mono:
         ens = fold_to_mono(ens)
     spec = SpectrogramConfig(mel_norm="slaney", out_size=input_size)
-    fwd = functools.partial(
-        _forward_windows,
-        ensemble=ens,
-        spec_cfg=spec,
-        sample_rate=32_000,
-        use_gemm_dft=True,
-        compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
-        use_pallas=use_pallas,
-    )
+    if int8:
+        from synthetic_audio_detection_tpu.models.quantized import (
+            quantize_ensemble,
+            quantized_ensemble_forward,
+        )
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+        from synthetic_audio_detection_tpu.ops import melspec as M
+
+        qens = quantize_ensemble(ens)
+
+        def fwd(qvars, windows):
+            if use_pallas:
+                z = fused_log_mel(windows, spec, 32_000)
+            else:
+                z = M.standardize(M.amplitude_to_db(
+                    M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
+            feats = jax.image.resize(
+                z, (z.shape[0], input_size, input_size), method="linear")
+            x = jnp.broadcast_to(feats[..., None], (*feats.shape, 3))
+            import dataclasses as dc
+            q = dc.replace(qens, qbackbone=qvars[0], head_variables=qvars[1])
+            return quantized_ensemble_forward(q, x)
+
+        variables_in = (qens.qbackbone, qens.head_variables)
+    else:
+        fwd = functools.partial(
+            _forward_windows,
+            ensemble=ens,
+            spec_cfg=spec,
+            sample_rate=32_000,
+            use_gemm_dft=True,
+            compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+            use_pallas=use_pallas,
+        )
+        variables_in = None
     rng = np.random.default_rng(0)
     windows = jnp.asarray(
         rng.standard_normal((batch, 128_000)).astype(np.float32) * 0.3
     )
-    variables = jax.device_put(ens.variables)
+    variables = jax.device_put(
+        variables_in if variables_in is not None else ens.variables
+    )
     per_iter = measure(fwd, variables, windows)
     return {
         "batch": batch,
@@ -85,6 +114,7 @@ def bench_config(
         "shared_backbone": shared_backbone,
         "backbone": backbone,
         "mono": mono,
+        "int8": int8,
         "ms_per_batch": round(per_iter * 1e3, 2),
         "segments_per_sec": round(batch / per_iter, 1),
     }
@@ -112,6 +142,12 @@ PRESETS = {
     # mono + 256^2 fast mode
     "mono-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                       use_pallas=True, shared_backbone=True, mono=True),
+    # int8 PTQ backbone (2x MXU rate)
+    "int8": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                 use_pallas=True, shared_backbone=True, int8=True),
+    # int8 + fast mode
+    "int8-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
+                      use_pallas=True, shared_backbone=True, int8=True),
 }
 
 

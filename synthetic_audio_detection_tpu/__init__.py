@@ -1,31 +1,67 @@
-"""TPU-native synthetic-audio (deepfake) detection framework.
+"""Synthetic Audio Detection — TPU-native framework.
 
-A ground-up JAX/XLA/Pallas rebuild of the capabilities of the
-TtesseractT/Synthetic-Audio-Detection reference system (see /root/repo/SURVEY.md):
-audio normalization to 32 kHz mono, 4-second segmentation, 128-mel
-log-spectrogram front end (fused on device), ResNet-backbone binary heads,
-multi-head ensemble with the "Real only on unanimous consensus" rule, dataset
-ETL, training, checkpointing (including torch ``.pth`` round-trip), and a
-JSON-emitting inference runner — all designed TPU-first: static shapes, jitted
-batch graphs, vmapped ensemble heads, and ``jax.sharding`` data parallelism.
+Public API (lazy-loaded to keep `import synthetic_audio_detection_tpu` light):
 
-Subpackages
------------
-- ``ops``         device-side DSP: resample, mel spectrogram, resize, filters
-- ``models``      Flax ResNet-18/34/50/101/152 + binary-classifier head
-- ``ensemble``    stacked-parameter multi-head ensemble + merge logic
-- ``audio``       host-side WAV I/O, decode shims, offline augmentation DSP
-- ``data``        dataset ETL (rename/convert/segment/split/leak-check) + input pipeline
-- ``train``       jitted train step, schedules, metrics, training loop
-- ``checkpoints`` orbax-backed native checkpoints + torch ``.pth`` import/export
-- ``parallel``    mesh construction and sharding helpers
-- ``infer``       windowed inference runner, smoothing, JSON verdict schema
-- ``cli``         CLI entry points mirroring the reference's 9 scripts
+    Config tree:     AudioConfig, SpectrogramConfig, ModelConfig, TrainConfig,
+                     InferenceConfig, MeshConfig, PipelineConfig
+    Models:          BinaryClassifier, create_resnet
+    Ensemble:        MultiHeadEnsemble, build_ensemble, ensemble_forward,
+                     decide, merge_models, fold_to_mono
+    Serving:         InferencePipeline, LegacyAudioAnalyzer
+    Training:        Trainer
+    Checkpoints:     load_merged, save_merged_torch, load_submodel_torch
+    Sharding:        create_mesh
 """
+
+from __future__ import annotations
 
 __version__ = "0.1.0"
 
-from synthetic_audio_detection_tpu.utils.config import (  # noqa: F401
-    AudioConfig,
-    SpectrogramConfig,
-)
+_EXPORTS = {
+    # config
+    "AudioConfig": "synthetic_audio_detection_tpu.utils.config",
+    "SpectrogramConfig": "synthetic_audio_detection_tpu.utils.config",
+    "ModelConfig": "synthetic_audio_detection_tpu.utils.config",
+    "TrainConfig": "synthetic_audio_detection_tpu.utils.config",
+    "InferenceConfig": "synthetic_audio_detection_tpu.utils.config",
+    "MeshConfig": "synthetic_audio_detection_tpu.utils.config",
+    "PipelineConfig": "synthetic_audio_detection_tpu.utils.config",
+    # models
+    "BinaryClassifier": "synthetic_audio_detection_tpu.models.classifier",
+    "create_resnet": "synthetic_audio_detection_tpu.models.resnet",
+    # ensemble
+    "MultiHeadEnsemble": "synthetic_audio_detection_tpu.ensemble.multihead",
+    "build_ensemble": "synthetic_audio_detection_tpu.ensemble.multihead",
+    "ensemble_forward": "synthetic_audio_detection_tpu.ensemble.multihead",
+    "decide": "synthetic_audio_detection_tpu.ensemble.multihead",
+    "fold_to_mono": "synthetic_audio_detection_tpu.ensemble.multihead",
+    "merge_models": "synthetic_audio_detection_tpu.ensemble.merger",
+    # serving
+    "InferencePipeline": "synthetic_audio_detection_tpu.infer.pipeline",
+    "LegacyAudioAnalyzer": "synthetic_audio_detection_tpu.infer.legacy_analyzer",
+    # training
+    "Trainer": "synthetic_audio_detection_tpu.train.trainer",
+    # checkpoints
+    "load_merged": "synthetic_audio_detection_tpu.checkpoints.serialization",
+    "save_merged_torch": "synthetic_audio_detection_tpu.checkpoints.serialization",
+    "load_submodel_torch": "synthetic_audio_detection_tpu.checkpoints.serialization",
+    # sharding
+    "create_mesh": "synthetic_audio_detection_tpu.parallel.sharding",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+
+        module = importlib.import_module(_EXPORTS[name])
+        value = getattr(module, name)
+        globals()[name] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return __all__

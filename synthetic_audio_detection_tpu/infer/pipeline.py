@@ -156,6 +156,7 @@ class InferencePipeline:
         compute_dtype: Any = jnp.float32,
         donate_windows: bool = False,
         use_pallas: Optional[bool] = None,
+        mesh: Optional[Any] = None,
     ):
         self.ensemble = ensemble
         self.audio = audio or AudioConfig()
@@ -167,6 +168,17 @@ class InferencePipeline:
             # TPU backends: native 'tpu' or tunneled plugins exposing TPU devices
             use_pallas = jax.default_backend() in ("tpu", "axon")
         self.use_pallas = use_pallas
+        # data-parallel serving: windows shard over the mesh 'data' axis,
+        # params replicate — hour-long recordings scale across chips with the
+        # window axis as the batch axis (SURVEY.md §5 long-context)
+        self.mesh = mesh
+        if mesh is not None:
+            from synthetic_audio_detection_tpu.parallel import sharding as sh
+
+            self.ensemble = dataclasses.replace(
+                ensemble, variables=sh.replicate(mesh, ensemble.variables)
+            )
+            ensemble = self.ensemble
 
         fwd = functools.partial(
             _forward_windows,
@@ -184,8 +196,14 @@ class InferencePipeline:
     def _bucket(self, n: int) -> int:
         b = self.infer.batch_size
         if n <= 8:
-            return 8
-        return min(b, 1 << math.ceil(math.log2(n))) if n < b else b
+            bucket = 8
+        else:
+            bucket = min(b, 1 << math.ceil(math.log2(n))) if n < b else b
+        if self.mesh is not None:
+            from synthetic_audio_detection_tpu.parallel import sharding as sh
+
+            bucket = sh.pad_batch_to_multiple(bucket, self.mesh)
+        return bucket
 
     def logits_for_windows(self, windows: np.ndarray) -> np.ndarray:
         """[num, T] → [num, N+1] logits, batching through compiled buckets."""
@@ -202,6 +220,10 @@ class InferencePipeline:
                 batch = np.concatenate(
                     [batch, np.zeros((bucket - take, windows.shape[1]), windows.dtype)]
                 )
+            if self.mesh is not None:
+                from synthetic_audio_detection_tpu.parallel import sharding as sh
+
+                batch = jax.device_put(batch, sh.batch_sharded(self.mesh, 2))
             logits = self._jit_fwd(self.ensemble.variables, jnp.asarray(batch))
             out.append(np.asarray(logits[:take], np.float32))
             i += take
