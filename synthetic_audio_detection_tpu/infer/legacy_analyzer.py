@@ -35,7 +35,6 @@ from synthetic_audio_detection_tpu.audio import wavio
 from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
 from synthetic_audio_detection_tpu.ops import melspec
 from synthetic_audio_detection_tpu.ops.filters import gaussian_filter1d, median_filter1d
-from synthetic_audio_detection_tpu.ops.resample import resample
 from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 
 
@@ -117,9 +116,11 @@ class LegacyAudioAnalyzer:
         wf, sr = wavio.read_wav(path)
         mono = wf.mean(axis=0)
         if sr != self.audio.target_sample_rate:
-            mono = np.asarray(
-                resample(jnp.asarray(mono), sr, self.audio.target_sample_rate)
-            )
+            # host polyphase resample: variable lengths would recompile the
+            # jitted path once per file length
+            from synthetic_audio_detection_tpu.audio.dsp import resample_poly_np
+
+            mono = resample_poly_np(mono, sr, self.audio.target_sample_rate)
         seconds = mono.shape[0] / self.audio.target_sample_rate
         if seconds < self.audio.window_size:
             # reference pads short clips to 5 s (:165-172)

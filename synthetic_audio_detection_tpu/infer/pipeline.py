@@ -43,7 +43,6 @@ from synthetic_audio_detection_tpu.ensemble.multihead import (
 )
 from synthetic_audio_detection_tpu.ops import melspec
 from synthetic_audio_detection_tpu.ops.filters import gaussian_filter1d
-from synthetic_audio_detection_tpu.ops.resample import resample
 from synthetic_audio_detection_tpu.utils.config import (
     AudioConfig,
     InferenceConfig,
@@ -64,7 +63,11 @@ def preprocess_waveform(
     wf, sr = wavio.read_wav(path)
     mono = wf.mean(axis=0)
     if sr != audio.sample_rate:
-        mono = np.asarray(resample(jnp.asarray(mono), sr, audio.sample_rate))
+        # host polyphase twin of ops.resample: arbitrary file lengths would
+        # force one XLA compile per length through the jitted path
+        from synthetic_audio_detection_tpu.audio.dsp import resample_poly_np
+
+        mono = resample_poly_np(mono, sr, audio.sample_rate)
     if mono.shape[0] < audio.window_samples:
         mono = np.pad(mono, (0, audio.window_samples - mono.shape[0]))
     return mono.astype(np.float32)

@@ -1,0 +1,112 @@
+"""Inference pipeline unit tests: windowing, silence gate, bucketing,
+result schema, smoothing (reference inference_runner.py semantics)."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from synthetic_audio_detection_tpu.ensemble.multihead import build_ensemble
+from synthetic_audio_detection_tpu.infer.pipeline import (
+    InferencePipeline,
+    result_json,
+    slice_waveform,
+)
+from synthetic_audio_detection_tpu.models.classifier import (
+    BinaryClassifier,
+    init_classifier,
+)
+from synthetic_audio_detection_tpu.utils.config import (
+    AudioConfig,
+    InferenceConfig,
+    SpectrogramConfig,
+)
+
+
+def test_slice_waveform_windows_and_gate():
+    cfg = AudioConfig()  # 4 s windows, overlap 0, gate 1e-3
+    sr = cfg.sample_rate
+    wf = np.zeros(10 * sr, np.float32)
+    wf[0 * sr : 4 * sr] = 0.1      # window 0 loud
+    # window 1 (4..8 s) silent → gated out
+    # trailing 8..10 s: incomplete window → dropped (reference behavior)
+    windows, stamps = slice_waveform(wf, cfg)
+    assert windows.shape == (1, 4 * sr)
+    assert stamps == [(0.0, 4.0)]
+
+
+def test_slice_waveform_overlap():
+    cfg = AudioConfig(overlap=0.5)
+    sr = cfg.sample_rate
+    wf = (np.ones(12 * sr) * 0.1).astype(np.float32)
+    windows, stamps = slice_waveform(wf, cfg)
+    # hop = 2 s → starts at 0,2,4,6,8 (start+4 <= 12)
+    assert [s for s, _ in stamps] == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    model = BinaryClassifier(backbone="resnet18")
+    vds = [init_classifier(model, jax.random.PRNGKey(i), input_size=64)
+           for i in range(2)]
+    ens = build_ensemble(model, vds, ["SynA", "SynB", "Real"],
+                         detect_shared_backbone=False)
+    return InferencePipeline(
+        ens,
+        spec=SpectrogramConfig(mel_norm="slaney", out_size=64),
+        infer=InferenceConfig(batch_size=8),
+        use_pallas=False,
+    )
+
+
+def test_analyze_windows_schema(tiny_pipeline, rng):
+    windows = (rng.standard_normal((3, 128_000)) * 0.3).astype(np.float32)
+    stamps = [(0.0, 4.0), (4.0, 8.0), (8.0, 12.0)]
+    res = tiny_pipeline.analyze_windows(windows, stamps)
+    assert set(res) == {"segments", "percentages"}
+    assert len(res["segments"]) == 3
+    for seg, (s, e) in zip(res["segments"], stamps):
+        assert seg["start_sec"] == s and seg["end_sec"] == e
+        assert seg["label"] in ("SynA", "SynB", "Real")
+    assert set(res["percentages"]) == {"SynA", "SynB", "Real"}
+    payload = json.loads(result_json("x.wav", res))
+    assert payload["filename"] == "x.wav"
+
+
+def test_empty_windows_schema(tiny_pipeline):
+    res = tiny_pipeline.analyze_windows(np.zeros((0, 128_000), np.float32), [])
+    assert res["segments"] == []
+    assert all(v == 0.0 for v in res["percentages"].values())
+
+
+def test_smoothing_renormalizes(tiny_pipeline, rng):
+    windows = (rng.standard_normal((6, 128_000)) * 0.3).astype(np.float32)
+    stamps = [(i * 4.0, i * 4.0 + 4.0) for i in range(6)]
+    res = tiny_pipeline.analyze_windows(windows, stamps, smooth=True)
+    # smoothed path renormalizes rows → percentages sum to ~100
+    assert sum(res["percentages"].values()) == pytest.approx(100.0, abs=0.1)
+
+
+def test_unsmoothed_percentages_are_independent_sigmoids(tiny_pipeline, rng):
+    """Faithful reference quirk: unsmoothed percentages are means of
+    independent sigmoids and need NOT sum to 100 (inference_runner.py:327-334)."""
+    windows = (rng.standard_normal((4, 128_000)) * 0.3).astype(np.float32)
+    stamps = [(i * 4.0, i * 4.0 + 4.0) for i in range(4)]
+    res = tiny_pipeline.analyze_windows(windows, stamps, smooth=False)
+    logits = tiny_pipeline.logits_for_windows(windows)
+    probs = 1 / (1 + np.exp(-logits.astype(np.float64)))
+    for j, c in enumerate(["SynA", "SynB", "Real"]):
+        assert res["percentages"][c] == pytest.approx(
+            probs[:, j].mean() * 100, abs=0.01)
+
+
+def test_bucketing_padding_consistency(tiny_pipeline, rng):
+    """Logits must be independent of how the batch is bucketed/padded."""
+    windows = (rng.standard_normal((5, 128_000)) * 0.3).astype(np.float32)
+    all_at_once = tiny_pipeline.logits_for_windows(windows)
+    one_by_one = np.concatenate(
+        [tiny_pipeline.logits_for_windows(windows[i : i + 1]) for i in range(5)]
+    )
+    np.testing.assert_allclose(all_at_once, one_by_one, rtol=1e-4, atol=1e-4)
