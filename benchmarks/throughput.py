@@ -148,6 +148,9 @@ PRESETS = {
     # int8 + fast mode
     "int8-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                       use_pallas=True, shared_backbone=True, int8=True),
+    # per-clip latency config: small batch, fidelity input
+    "latency": dict(batch=8, heads=6, input_size=512, dtype="bf16",
+                    use_pallas=True, shared_backbone=True),
 }
 
 

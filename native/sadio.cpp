@@ -261,4 +261,49 @@ void sadio_decode_batch(const char** paths, int32_t n, float* out,
   for (auto& th : pool) th.join();
 }
 
+// Polyphase windowed-sinc resampling: y[k*new_g + p] = dot(xpad[k*orig_g : k*orig_g+L], kern[p]).
+// `kern` is the [new_g, L] bank the Python side computes (ops/resample.py
+// _sinc_kernels — torchaudio semantics); this is only the hot strided-dot
+// loop, multithreaded over output positions. `x` has length n; the function
+// pads with `width` zeros left and `width + orig_g` right internally.
+// Returns samples written (= target_len) or <0 on error.
+int64_t sadio_resample_poly(const float* x, int64_t n, const float* kern,
+                            int32_t new_g, int32_t orig_g, int32_t L,
+                            int32_t width, float* out, int64_t target_len,
+                            int32_t threads) {
+  if (n <= 0 || new_g <= 0 || orig_g <= 0 || L <= 0) return -20;
+  const int64_t padded = n + width + width + orig_g;
+  std::vector<float> xp(static_cast<size_t>(padded), 0.f);
+  memcpy(xp.data() + width, x, sizeof(float) * static_cast<size_t>(n));
+  const int64_t n_pos = (padded - L) / orig_g + 1;
+
+  if (threads <= 0) threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+  if (threads < 1) threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t chunk = 1024;  // output-frame positions per work unit
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t start = next.fetch_add(chunk);
+      if (start >= n_pos) return;
+      int64_t end = start + chunk < n_pos ? start + chunk : n_pos;
+      for (int64_t k = start; k < end; ++k) {
+        const float* seg = xp.data() + k * orig_g;
+        for (int32_t p = 0; p < new_g; ++p) {
+          int64_t oi = k * new_g + p;
+          if (oi >= target_len) break;
+          const float* kp = kern + static_cast<int64_t>(p) * L;
+          float acc = 0.f;
+          for (int32_t i = 0; i < L; ++i) acc += seg[i] * kp[i];
+          out[oi] = acc;
+        }
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return target_len;
+}
+
 }  // extern "C"

@@ -49,6 +49,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            if hasattr(lib, "sadio_resample_poly"):
+                lib.sadio_resample_poly.restype = ctypes.c_int64
+                lib.sadio_resample_poly.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.c_int32,
+                ]
             _lib = lib
             return _lib
     return None
@@ -97,6 +107,37 @@ def read_mono(path: str, max_frames: Optional[int] = None) -> Tuple[np.ndarray, 
     if got < 0:
         raise ValueError(f"{path}: sadio decode error {got}")
     return out[:got], sr.value
+
+
+def resample_poly(
+    x: np.ndarray, orig_sr: int, new_sr: int, threads: int = 0
+) -> Optional[np.ndarray]:
+    """Multithreaded C polyphase resample with the torchaudio-semantics kernel
+    bank (ops/resample._sinc_kernels). Returns None when the library lacks the
+    symbol (caller falls back to the numpy path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sadio_resample_poly"):
+        return None
+    import math
+
+    from synthetic_audio_detection_tpu.ops.resample import _sinc_kernels
+
+    if orig_sr == new_sr:
+        return np.asarray(x, np.float32)
+    kernels, width, orig_g, new_g = _sinc_kernels(orig_sr, new_sr)
+    kern = np.ascontiguousarray(kernels[:, 0, :], np.float32)  # [new_g, L]
+    x = np.ascontiguousarray(x, np.float32)
+    target = int(math.ceil(new_g * len(x) / orig_g))
+    out = np.empty(target, np.float32)
+    got = lib.sadio_resample_poly(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        kern.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        new_g, orig_g, kern.shape[1], width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), target, threads,
+    )
+    if got < 0:
+        return None
+    return out
 
 
 def decode_batch(

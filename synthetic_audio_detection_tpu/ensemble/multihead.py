@@ -42,12 +42,18 @@ class MultiHeadEnsemble:
     matching BinaryClassifier's variable structure ({'params', 'batch_stats'}).
     class_names: [syn_1, ..., syn_N, real_name] (merged-checkpoint metadata
     contract, model_merger.py:153-159).
+
+    head_mode: how independent-backbone heads execute — 'vmap' (all N in one
+    batched program; N× activation memory) or 'map' (lax.map, sequential
+    heads; constant memory — right for big batches × many heads). Ignored
+    when shared_backbone (heads are tiny MLPs there).
     """
 
     model: BinaryClassifier
     variables: Any
     class_names: List[str]
     shared_backbone: bool = False
+    head_mode: str = "vmap"
 
     @property
     def num_heads(self) -> int:
@@ -175,7 +181,11 @@ def ensemble_forward(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndarray:
         def sub_fwd(v, xx):
             return ens.model.apply(v, xx, train=False)
 
-        logits_nh = jax.vmap(sub_fwd, in_axes=(0, None))(ens.variables, x)
+        if ens.head_mode == "map":
+            # sequential heads: activation memory stays one-model-sized
+            logits_nh = jax.lax.map(lambda v: sub_fwd(v, x), ens.variables)
+        else:
+            logits_nh = jax.vmap(sub_fwd, in_axes=(0, None))(ens.variables, x)
     return _aggregate(logits_nh)
 
 
