@@ -66,7 +66,8 @@ def main() -> None:
     from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 
-    ens = _flagship_ensemble(n_heads=6, shared_backbone=True)
+    ens = _flagship_ensemble(n_heads=6, shared_backbone=True,
+                             dtype=jnp.bfloat16)
     spec_cfg = SpectrogramConfig.inference()
     on_tpu = jax.default_backend() in ("tpu", "axon")
     fwd = functools.partial(

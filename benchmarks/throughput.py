@@ -57,7 +57,8 @@ def bench_config(
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 
     ens = _flagship_ensemble(
-        n_heads=heads, backbone=backbone, shared_backbone=shared_backbone
+        n_heads=heads, backbone=backbone, shared_backbone=shared_backbone,
+        dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
     )
     if mono:
         ens = fold_to_mono(ens)

@@ -64,6 +64,10 @@ def main(argv=None) -> int:
     )
 
     ensemble = serialization.load_merged(args.merged_model, backbone=args.backbone)
+    if args.bf16:
+        from synthetic_audio_detection_tpu.ensemble.multihead import with_dtype
+
+        ensemble = with_dtype(ensemble, jnp.bfloat16)
     print("Using metadata names:")
     print("Synthetic names:", ensemble.synthetic_names)
     print("Real name:", ensemble.real_name)
