@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-size", default=512, type=int,
                    help="Spectrogram image size (512 = reference fidelity; "
                    "smaller sizes trade accuracy for speed)")
+    p.add_argument("--data-backend", default="threads",
+                   choices=("threads", "grain"),
+                   help="Input pipeline: thread pool (default) or grain "
+                   "worker processes")
     return p
 
 
@@ -77,6 +81,7 @@ def main(argv=None) -> int:
         resume=args.resume,
         class0=args.Class0,
         class1=args.Class1,
+        data_backend=args.data_backend,
     )
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 

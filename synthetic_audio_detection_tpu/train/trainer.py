@@ -43,6 +43,31 @@ from synthetic_audio_detection_tpu.utils.tb_writer import SummaryWriter
 log = logging.getLogger(__name__)
 
 
+class _GrainBatcher:
+    """WaveformBatcher-shaped adapter over data.grain_pipeline (worker
+    processes, deterministic global shuffle; TrainConfig.data_backend='grain')."""
+
+    def __init__(self, samples, batch_size, shuffle=True, workers=8, seed=0):
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.workers = workers
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.samples) // self.batch_size
+
+    def epoch(self, epoch_idx: int = 0):
+        from synthetic_audio_detection_tpu.data.grain_pipeline import (
+            make_grain_loader,
+        )
+
+        yield from make_grain_loader(
+            self.samples, self.batch_size, shuffle=self.shuffle,
+            seed=self.seed + epoch_idx, workers=self.workers,
+        )
+
+
 @dataclass
 class EpochResult:
     train_loss: float = 0.0
@@ -178,10 +203,14 @@ class Trainer:
 
     def _batches(self, batcher: ds.WaveformBatcher, epoch: int, target_rows: int):
         for batch in batcher.epoch(epoch):
-            padded, n = ds.pad_batch(batch, target_rows)
-            padded["weight"] = (
-                np.arange(target_rows) < n
-            ).astype(np.float32)
+            if "weight" in batch:
+                # grain backend: fixed-shape batches with weights built in
+                padded = batch
+            else:
+                padded, n = ds.pad_batch(batch, target_rows)
+                padded["weight"] = (
+                    np.arange(target_rows) < n
+                ).astype(np.float32)
             if self.mesh is not None:
                 padded = sh.shard_batch(self.mesh, padded)
             yield padded
@@ -237,11 +266,13 @@ class Trainer:
         data_dir = data_dir or cfg.data_dir
         train_samples = ds.list_samples(data_dir, "train", self.class_names)
         val_samples = ds.list_samples(data_dir, "test", self.class_names)
-        train_batcher = ds.WaveformBatcher(
+        make = (_GrainBatcher if cfg.data_backend == "grain"
+                else ds.WaveformBatcher)
+        train_batcher = make(
             train_samples, cfg.batch_size, shuffle=True,
             workers=cfg.workers, seed=cfg.seed,
         )
-        val_batcher = ds.WaveformBatcher(
+        val_batcher = make(
             val_samples, cfg.batch_size, shuffle=False, workers=cfg.workers
         )
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)

@@ -139,6 +139,10 @@ class TrainConfig:
     # Reference-compat "loss over pooled features" quirk is NOT the default;
     # the sane path puts the head in the loss (SURVEY.md §7.3).
     log_every_steps: int = 100
+    # input pipeline backend: 'threads' (dependency-light, data/dataset.py)
+    # or 'grain' (worker processes, deterministic global shuffle,
+    # data/grain_pipeline.py)
+    data_backend: str = "threads"
 
 
 @dataclass(frozen=True)
