@@ -27,9 +27,7 @@ import shutil
 import subprocess
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Dict, Iterable, List, Optional, Tuple
 
 from synthetic_audio_detection_tpu.audio import wavio
 from synthetic_audio_detection_tpu.audio.dsp import resample_poly_np

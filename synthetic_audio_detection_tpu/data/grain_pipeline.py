@@ -14,7 +14,7 @@ with rows of dropped/corrupt files weighted 0 (static shapes for jit).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -20,7 +20,7 @@ runs once and only the tiny MLP heads are vmapped (`shared_backbone=True`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

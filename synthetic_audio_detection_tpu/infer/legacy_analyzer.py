@@ -22,8 +22,6 @@ arrays (tiny) with jitted filters available in ops.filters.
 from __future__ import annotations
 
 import dataclasses
-import functools
-import json
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 

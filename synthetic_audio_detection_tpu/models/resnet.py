@@ -16,7 +16,7 @@ consumes it exactly the way the reference's `BinaryClassifier.forward` does
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ graph; the implementations match scipy defaults numerically.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ then spans all processes' devices (ICI within a slice, DCN across slices).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

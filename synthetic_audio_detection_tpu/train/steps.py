@@ -26,7 +26,6 @@ mesh 'data' axis; XLA inserts the gradient all-reduce over ICI.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -6,7 +6,7 @@ sufficient statistics the jitted eval step returns."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
