@@ -50,6 +50,7 @@ def bench_config(
     backbone: str = "resnet18",
     mono: bool = False,
     int8: bool = False,
+    melonly: bool = False,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -63,7 +64,22 @@ def bench_config(
     if mono:
         ens = fold_to_mono(ens)
     spec = SpectrogramConfig(mel_norm="slaney", out_size=input_size)
-    if int8:
+    if melonly:
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+        from synthetic_audio_detection_tpu.ops import melspec as M
+
+        def fwd(_, windows):
+            if use_pallas:
+                z = fused_log_mel(windows, spec, 32_000)
+            else:
+                z = M.standardize(M.amplitude_to_db(
+                    M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
+            feats = jax.image.resize(
+                z, (z.shape[0], input_size, input_size), method="linear")
+            return feats.astype(jnp.bfloat16)
+
+        variables_in = jnp.zeros(())
+    elif int8:
         from synthetic_audio_detection_tpu.models.quantized import (
             quantize_ensemble,
             quantized_ensemble_forward,
@@ -152,6 +168,9 @@ PRESETS = {
     # per-clip latency config: small batch, fidelity input
     "latency": dict(batch=8, heads=6, input_size=512, dtype="bf16",
                     use_pallas=True, shared_backbone=True),
+    # front end only (mel + resize, no model) — decomposition ablation
+    "melonly": dict(batch=128, heads=1, input_size=512, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True),
 }
 
 

@@ -1,0 +1,36 @@
+"""Pallas direct conv vs lax.conv (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from synthetic_audio_detection_tpu.ops.pallas_conv import conv3x3_bn_relu
+
+
+def _ref(x, w, scale, bias, stride, relu):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(stride, stride),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y * scale[None, None, None, :] + bias[None, None, None, :]
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+@pytest.mark.parametrize("stride,relu", [(1, True), (2, False)])
+def test_conv3x3_matches_lax(rng, stride, relu):
+    B, H, W, C, F = 2, 16, 16, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, F)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, F).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(F).astype(np.float32) * 0.1)
+    got = np.asarray(conv3x3_bn_relu(x, w, scale, bias, stride, relu,
+                                     interpret=True))
+    # reference uses the same bf16 inputs for a fair numerical comparison
+    ref = np.asarray(_ref(x.astype(jnp.bfloat16).astype(jnp.float32),
+                          w.astype(jnp.bfloat16).astype(jnp.float32),
+                          scale, bias, stride, relu))
+    assert got.shape == ref.shape == (B, H // stride, W // stride, F)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
