@@ -58,6 +58,11 @@ def pallas_conv(x, w, scale, bias):
     return conv3x3_bn_relu(x, w, scale[0, 0, 0], bias[0, 0, 0], 1, True)
 
 
+def pallas_conv_nokpack(x, w, scale, bias):
+    return conv3x3_bn_relu(x, w, scale[0, 0, 0], bias[0, 0, 0], 1, True,
+                           k_pack=False)
+
+
 def main():
     rng = np.random.default_rng(0)
     for name, B, H, W, C, F, stride in SHAPES:
@@ -67,7 +72,10 @@ def main():
         bias = jnp.zeros((1, 1, 1, F), jnp.float32)
         gflop = 2 * 9 * C * F * (H // stride) * (W // stride) * B / 1e9
         row = {"shape": name, "gflop_per_iter": round(gflop, 1)}
-        for label, fn in (("lax", lax_conv), ("pallas", pallas_conv)):
+        variants = [("lax", lax_conv), ("pallas", pallas_conv)]
+        if C <= 64:
+            variants.append(("pallas_nokpack", pallas_conv_nokpack))
+        for label, fn in variants:
             try:
                 t = timed_loop(fn, x, w, scale, bias)
                 row[f"{label}_ms"] = round(t * 1e3, 3)

@@ -1,17 +1,19 @@
-"""Pallas direct 3×3 convolution prototype (NHWC, stride 1/2, fused
-BN-affine + ReLU epilogue).
+"""Pallas direct 3×3 convolution (NHWC, stride 1/2, fused BN-affine + ReLU).
 
-Motivation: at 512² inputs the ensemble's ResNet convs reach only ~28% MXU
-utilization through XLA's conv lowering (benchmarks/throughput.py ablations);
-this kernel explores recovering that headroom with a direct formulation —
-one grid cell per image, the 3×3 stencil computed as 9 shifted
-``dot_general`` contractions over the channel axis (no im2col, no reshape,
-no frame materialization), with the BatchNorm affine and ReLU fused into the
-accumulator epilogue.
+Motivation (benchmarks/conv_ab.py, measured on-chip): XLA's conv lowering
+runs the resnet18@512² layer2/layer3 shapes at 194/251 TF/s (≈ bf16 peak) but
+**layer1 (128² spatial, C=64) at only 25 TF/s** — and layer1 holds ~half the
+model FLOPs. This kernel computes the 3×3 stencil as shifted channel
+contractions on the MXU — no im2col, no frame materialization — with two
+layer1-specific tricks:
 
-Status: correctness-verified against lax.conv (tests/test_pallas_conv.py,
-interpret mode + TPU when available); wired into benchmarks for A/B. Not yet
-the serving default — full-stage integration is round-2 work.
+- **K-packing**: for C ≤ 64, tap pairs are concatenated along the channel
+  (lane) axis so each ``dot_general`` contracts K = 2C = 128, filling the
+  MXU's contraction dimension (unpacked C=64 idles half the array);
+- bf16 streams in/out (f32 accumulation via preferred_element_type), keeping
+  the whole-image-per-grid-cell layout inside VMEM.
+
+Correctness vs lax.conv: tests/test_pallas_conv.py (interpret + TPU A/B).
 """
 
 from __future__ import annotations
@@ -25,27 +27,48 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_TAPS = [(dy, dx) for dy in range(3) for dx in range(3)]
+
 
 def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
-            H: int, W: int, C: int, F: int, stride: int, relu: bool):
-    """x_ref: [1, H+2, W+2, C] (pre-padded); w_ref: [3, 3, C, F];
-    scale/bias: [1, F]; out: [1, H//s, W//s, F]."""
-    Ho = H // stride
-    Wo = W // stride
+            H: int, W: int, C: int, F: int, stride: int, relu: bool,
+            k_pack: bool):
+    """x_ref: [1, H+2, W+2, C] bf16 (pre-padded); w_ref: [9, C, F] bf16
+    (tap-major); scale/bias: [1, F] f32; out: [1, H//s, W//s, F] bf16."""
+    Ho, Wo = H // stride, W // stride
     acc = jnp.zeros((Ho, Wo, F), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = x_ref[0, dy : dy + H : stride, dx : dx + W : stride, :]
+
+    def tap(i):
+        dy, dx = _TAPS[i]
+        return x_ref[0, dy : dy + H : stride, dx : dx + W : stride, :]
+
+    if k_pack:
+        # pairs of taps → K = 2C per dot (the 9th tap pairs with zeros)
+        for i in range(0, 8, 2):
+            p = jnp.concatenate([tap(i), tap(i + 1)], axis=-1)
+            wpair = jnp.concatenate([w_ref[i], w_ref[i + 1]], axis=0)
             acc = acc + jax.lax.dot_general(
-                patch.astype(jnp.bfloat16),
-                w_ref[dy, dx, :, :],
+                p, wpair,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        acc = acc + jax.lax.dot_general(
+            tap(8), w_ref[8],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        for i in range(9):
+            acc = acc + jax.lax.dot_general(
+                tap(i), w_ref[i],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
     y = acc * scale_ref[0, :][None, None, :] + bias_ref[0, :][None, None, :]
     if relu:
         y = jnp.maximum(y, 0.0)
-    out_ref[0, :, :, :] = y
+    out_ref[0, :, :, :] = y.astype(out_ref.dtype)
 
 
 def conv3x3_bn_relu(
@@ -56,11 +79,13 @@ def conv3x3_bn_relu(
     stride: int = 1,
     relu: bool = True,
     interpret: bool = False,
+    k_pack: Optional[bool] = None,
+    out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """[B, H, W, C] × [3, 3, C, F] → [B, H/s, W/s, F] with SAME padding and a
     fused per-channel affine (+ReLU). Whole-image-per-grid-cell layout: valid
-    while (H+2)·(W+2)·C·2B + H·W·F·4B fits VMEM (all resnet18 stages at 512²
-    inputs do)."""
+    while the bf16 image + output + f32 accumulator fit VMEM (all resnet18
+    stages at 512² inputs do)."""
     B, H, W_, C = x.shape
     F = w.shape[-1]
     assert w.shape[:3] == (3, 3, C)
@@ -69,10 +94,13 @@ def conv3x3_bn_relu(
         scale = jnp.ones((F,), jnp.float32)
     if bias is None:
         bias = jnp.zeros((F,), jnp.float32)
+    if k_pack is None:
+        k_pack = C <= 64
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w_taps = w.astype(jnp.bfloat16).reshape(9, C, F)
     kernel = functools.partial(
-        _kernel, H=H, W=W_, C=C, F=F, stride=stride, relu=relu
+        _kernel, H=H, W=W_, C=C, F=F, stride=stride, relu=relu, k_pack=k_pack
     )
     Ho, Wo = H // stride, W_ // stride
     return pl.pallas_call(
@@ -81,13 +109,14 @@ def conv3x3_bn_relu(
         in_specs=[
             pl.BlockSpec((1, H + 2, W_ + 2, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, C, F), lambda b: (0, 0, 0, 0),
+            pl.BlockSpec((9, C, F), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, F), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, F), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Ho, Wo, F), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, F), out_dtype),
         interpret=interpret,
-    )(xp, w.astype(jnp.bfloat16), scale[None, :], bias[None, :])
+    )(xp, w_taps, scale[None, :].astype(jnp.float32),
+      bias[None, :].astype(jnp.float32))

@@ -19,15 +19,17 @@ def _ref(x, w, scale, bias, stride, relu):
     return jnp.maximum(y, 0.0) if relu else y
 
 
-@pytest.mark.parametrize("stride,relu", [(1, True), (2, False)])
-def test_conv3x3_matches_lax(rng, stride, relu):
+@pytest.mark.parametrize("stride,relu,k_pack", [
+    (1, True, False), (2, False, False), (1, True, True), (2, True, True),
+])
+def test_conv3x3_matches_lax(rng, stride, relu, k_pack):
     B, H, W, C, F = 2, 16, 16, 8, 16
     x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 0.5)
     w = jnp.asarray(rng.standard_normal((3, 3, C, F)).astype(np.float32) * 0.1)
     scale = jnp.asarray(rng.uniform(0.5, 1.5, F).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal(F).astype(np.float32) * 0.1)
     got = np.asarray(conv3x3_bn_relu(x, w, scale, bias, stride, relu,
-                                     interpret=True))
+                                     interpret=True, k_pack=k_pack)).astype(np.float32)
     # reference uses the same bf16 inputs for a fair numerical comparison
     ref = np.asarray(_ref(x.astype(jnp.bfloat16).astype(jnp.float32),
                           w.astype(jnp.bfloat16).astype(jnp.float32),
