@@ -14,6 +14,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from synthetic_audio_detection_tpu.ops.fast_conv import conv3x3_gemm
 from synthetic_audio_detection_tpu.ops.pallas_conv import conv3x3_bn_relu
 
 ITERS = 11
@@ -63,6 +64,11 @@ def pallas_conv_nokpack(x, w, scale, bias):
                            k_pack=False)
 
 
+def gemm_conv(x, w, scale, bias):
+    y = conv3x3_gemm(x, w, stride=1)
+    return jnp.maximum(y * scale + bias, 0.0)
+
+
 def main():
     rng = np.random.default_rng(0)
     for name, B, H, W, C, F, stride in SHAPES:
@@ -72,9 +78,8 @@ def main():
         bias = jnp.zeros((1, 1, 1, F), jnp.float32)
         gflop = 2 * 9 * C * F * (H // stride) * (W // stride) * B / 1e9
         row = {"shape": name, "gflop_per_iter": round(gflop, 1)}
-        variants = [("lax", lax_conv), ("pallas", pallas_conv)]
-        if C <= 64:
-            variants.append(("pallas_nokpack", pallas_conv_nokpack))
+        variants = [("lax", lax_conv), ("gemm", gemm_conv),
+                    ("pallas", pallas_conv)]
         for label, fn in variants:
             try:
                 t = timed_loop(fn, x, w, scale, bias)

@@ -1,0 +1,62 @@
+"""Fast (GEMM-conv) backbone vs the Flax model — bf16 numerics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from synthetic_audio_detection_tpu.ensemble.multihead import (
+    build_ensemble,
+    ensemble_forward,
+)
+from synthetic_audio_detection_tpu.models.classifier import (
+    BinaryClassifier,
+    init_classifier,
+)
+from synthetic_audio_detection_tpu.models.fast_resnet import (
+    fast_backbone_apply,
+    fast_ensemble_forward,
+)
+
+
+def _shared(n=2, dtype=jnp.float32):
+    model = BinaryClassifier(backbone="resnet18", dtype=dtype)
+    base = init_classifier(model, jax.random.PRNGKey(0), input_size=64)
+    vds = []
+    for i in range(n):
+        v = init_classifier(model, jax.random.PRNGKey(5 + i), input_size=64)
+        v["params"]["base"] = base["params"]["base"]
+        v["batch_stats"]["base"] = base["batch_stats"]["base"]
+        vds.append(v)
+    return build_ensemble(model, vds, [f"S{i}" for i in range(n)] + ["Real"])
+
+
+def test_fast_backbone_matches_flax(rng):
+    ens = _shared()
+    base_params = jax.tree_util.tree_map(
+        lambda a: a[0], ens.variables["params"]["base"])
+    base_stats = jax.tree_util.tree_map(
+        lambda a: a[0], ens.variables["batch_stats"]["base"])
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.4)
+
+    from synthetic_audio_detection_tpu.models.resnet import create_resnet
+
+    resnet = create_resnet("resnet18", 3, jnp.bfloat16)
+    ref = np.asarray(resnet.apply(
+        {"params": base_params, "batch_stats": base_stats}, x, train=False
+    )).astype(np.float32)
+    got = np.asarray(fast_backbone_apply(base_params, base_stats, x)).astype(np.float32)
+    assert got.shape == ref.shape
+    # both bf16 compute; differences are accumulation-order level
+    scale = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).max() / scale < 0.2
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_fast_ensemble_matches_reference_rule(rng):
+    ens = _shared()
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.4)
+    ref = np.asarray(ensemble_forward(ens, x))
+    got = np.asarray(fast_ensemble_forward(ens, x))
+    assert got.shape == ref.shape
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.99
+    np.testing.assert_array_equal(ref.argmax(1), got.argmax(1))
