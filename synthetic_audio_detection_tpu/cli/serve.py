@@ -1,0 +1,71 @@
+"""Serving daemon CLI: warm compiled ensemble behind an HTTP JSON API
+(infer/server.py). No reference counterpart — the reference re-loads and
+re-compiles per clip via its one-shot CLI.
+
+    python -m synthetic_audio_detection_tpu.cli.serve \
+        --merged-model merged.pth --port 8321 [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Synthetic-audio detection server")
+    p.add_argument("--merged-model", required=True)
+    p.add_argument("--backbone", default="resnet18")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--overlap", type=float, default=0.0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--no-warmup", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+
+    import jax.numpy as jnp
+
+    from synthetic_audio_detection_tpu.checkpoints import serialization
+    from synthetic_audio_detection_tpu.infer.pipeline import InferencePipeline
+    from synthetic_audio_detection_tpu.infer.server import serve
+    from synthetic_audio_detection_tpu.utils.config import (
+        AudioConfig,
+        InferenceConfig,
+        SpectrogramConfig,
+    )
+
+    ensemble = serialization.load_merged(args.merged_model, backbone=args.backbone)
+    if args.bf16:
+        from synthetic_audio_detection_tpu.ensemble.multihead import with_dtype
+
+        ensemble = with_dtype(ensemble, jnp.bfloat16)
+    pipeline = InferencePipeline(
+        ensemble,
+        audio=AudioConfig(overlap=args.overlap),
+        spec=SpectrogramConfig.inference(),
+        infer=InferenceConfig(threshold=args.threshold,
+                              batch_size=args.batch_size),
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    server = serve(pipeline, args.host, args.port,
+                   warmup=not args.no_warmup)
+    logging.info("serving %s on http://%s:%d (classes: %s)",
+                 args.merged_model, args.host, args.port,
+                 ensemble.class_names)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

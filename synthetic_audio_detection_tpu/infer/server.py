@@ -1,0 +1,128 @@
+"""HTTP serving daemon: persistent compiled ensemble behind a JSON API.
+
+The reference serves only through a one-shot CLI (inference_runner.py), which
+pays model-load + XLA-compile on every clip. For production deployment the
+framework keeps ONE warm InferencePipeline (compiled window buckets reused
+across requests) behind a minimal stdlib HTTP server — no web-framework
+dependency, thread-safe via a single dispatch lock (device execution is
+serialized anyway; host decode runs per-request in the handler thread).
+
+API:
+    GET  /healthz            → {"status": "ok", "classes": [...]}
+    POST /analyze            → body: WAV bytes (Content-Type: audio/wav)
+                               query: ?smooth=1&filename=clip.wav
+                               → the reference JSON schema
+                                 {filename, segments[], percentages{}}
+    POST /analyze_batch      → body: JSON {"files": {"name": <base64 wav>, ...}}
+                               → {"results": {"name": {...}, ...}}
+
+Start:  python -m synthetic_audio_detection_tpu.cli.serve \
+            --merged-model merged.pth --port 8321 [--bf16]
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from synthetic_audio_detection_tpu.audio import wavio
+from synthetic_audio_detection_tpu.audio.dsp import resample_poly_np
+from synthetic_audio_detection_tpu.infer.pipeline import (
+    InferencePipeline,
+    slice_waveform,
+)
+
+
+class ServingState:
+    """Warm pipeline + dispatch lock shared across handler threads."""
+
+    def __init__(self, pipeline: InferencePipeline):
+        self.pipeline = pipeline
+        self.lock = threading.Lock()
+
+    def analyze_wav_bytes(self, data: bytes, smooth: bool) -> Dict[str, Any]:
+        wf, sr = wavio.read_wav_bytes(data)
+        mono = wf.mean(axis=0)
+        audio_cfg = self.pipeline.audio
+        if sr != audio_cfg.sample_rate:
+            mono = resample_poly_np(mono, sr, audio_cfg.sample_rate)
+        if mono.shape[0] < audio_cfg.window_samples:
+            mono = np.pad(mono, (0, audio_cfg.window_samples - mono.shape[0]))
+        windows, stamps = slice_waveform(mono.astype(np.float32), audio_cfg)
+        with self.lock:  # device dispatch is serialized
+            return self.pipeline.analyze_windows(windows, stamps, smooth=smooth)
+
+    def warmup(self) -> None:
+        """Compile the smallest bucket so the first request is fast."""
+        dummy = np.zeros((1, self.pipeline.audio.window_samples), np.float32)
+        dummy[0, 0] = 1.0
+        with self.lock:
+            self.pipeline.logits_for_windows(dummy)
+
+
+def make_handler(state: ServingState):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet default stderr chatter
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "classes": state.pipeline.ensemble.class_names,
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                if parsed.path == "/analyze":
+                    q = parse_qs(parsed.query)
+                    smooth = q.get("smooth", ["0"])[0] in ("1", "true")
+                    name = q.get("filename", ["audio.wav"])[0]
+                    result = state.analyze_wav_bytes(data, smooth)
+                    self._send(200, {"filename": name, **result})
+                elif parsed.path == "/analyze_batch":
+                    req = json.loads(data)
+                    results = {}
+                    for name, b64 in req.get("files", {}).items():
+                        results[name] = state.analyze_wav_bytes(
+                            base64.b64decode(b64), bool(req.get("smooth"))
+                        )
+                    self._send(200, {"results": results})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001 - per-request isolation
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(
+    pipeline: InferencePipeline,
+    host: str = "127.0.0.1",
+    port: int = 8321,
+    warmup: bool = True,
+) -> ThreadingHTTPServer:
+    """Create (and return) the server; caller runs serve_forever()."""
+    state = ServingState(pipeline)
+    if warmup:
+        state.warmup()
+    return ThreadingHTTPServer((host, port), make_handler(state))

@@ -1,0 +1,104 @@
+"""HTTP serving daemon: health, analyze, batch, error isolation — driven
+through a real socket against a warm pipeline."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from synthetic_audio_detection_tpu.audio import wavio
+from synthetic_audio_detection_tpu.ensemble.multihead import build_ensemble
+from synthetic_audio_detection_tpu.infer.pipeline import InferencePipeline
+from synthetic_audio_detection_tpu.infer.server import serve
+from synthetic_audio_detection_tpu.models.classifier import (
+    BinaryClassifier,
+    init_classifier,
+)
+from synthetic_audio_detection_tpu.utils.config import (
+    AudioConfig,
+    InferenceConfig,
+    SpectrogramConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    model = BinaryClassifier(backbone="resnet18")
+    vds = [init_classifier(model, jax.random.PRNGKey(i), input_size=64)
+           for i in range(2)]
+    ens = build_ensemble(model, vds, ["SynA", "SynB", "Real"],
+                         detect_shared_backbone=False)
+    pipeline = InferencePipeline(
+        ens,
+        audio=AudioConfig(),
+        spec=SpectrogramConfig(mel_norm="slaney", out_size=64),
+        infer=InferenceConfig(batch_size=8),
+        use_pallas=False,
+    )
+    srv = serve(pipeline, host="127.0.0.1", port=0, warmup=True)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _wav_bytes(seconds=5.0, freq=440.0, sr=32000):
+    t = np.arange(int(seconds * sr)) / sr
+    y = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    buf = io.BytesIO()
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    wavio.write_wav(path, y, sr)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    return data
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(f"{server_url}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["classes"] == ["SynA", "SynB", "Real"]
+
+
+def test_analyze(server_url):
+    data = _wav_bytes()
+    req = urllib.request.Request(
+        f"{server_url}/analyze?filename=x.wav", data=data, method="POST",
+        headers={"Content-Type": "audio/wav"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert body["filename"] == "x.wav"
+    assert len(body["segments"]) == 1  # 5 s → one full 4 s window
+    assert set(body["percentages"]) == {"SynA", "SynB", "Real"}
+
+
+def test_analyze_batch_and_error_isolation(server_url):
+    good = base64.b64encode(_wav_bytes(4.5)).decode()
+    payload = json.dumps({"files": {"a.wav": good}}).encode()
+    req = urllib.request.Request(
+        f"{server_url}/analyze_batch", data=payload, method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert "a.wav" in body["results"]
+
+    # malformed wav → 400, server keeps serving
+    bad = urllib.request.Request(
+        f"{server_url}/analyze", data=b"garbage", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(bad, timeout=30)
+    assert exc.value.code == 400
+    with urllib.request.urlopen(f"{server_url}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
