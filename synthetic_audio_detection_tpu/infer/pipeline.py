@@ -197,11 +197,12 @@ class InferencePipeline:
     # -- bucketing ----------------------------------------------------------
 
     def _bucket(self, n: int) -> int:
+        # two-level bucketing: a small bucket for short clips and the full
+        # batch bucket for throughput — at most TWO compiled shapes per
+        # pipeline (a power-of-two ladder was observed recompiling mid-run on
+        # long recordings whose remainder batch hit a fresh bucket size)
         b = self.infer.batch_size
-        if n <= 8:
-            bucket = 8
-        else:
-            bucket = min(b, 1 << math.ceil(math.log2(n))) if n < b else b
+        bucket = 8 if n <= 8 else b
         if self.mesh is not None:
             from synthetic_audio_detection_tpu.parallel import sharding as sh
 
@@ -209,15 +210,20 @@ class InferencePipeline:
         return bucket
 
     def logits_for_windows(self, windows: np.ndarray) -> np.ndarray:
-        """[num, T] → [num, N+1] logits, batching through compiled buckets."""
+        """[num, T] → [num, N+1] logits, batching through compiled buckets.
+
+        The bucket is chosen once per call (small bucket for short clips,
+        the full batch bucket otherwise) so a long recording's tail chunk
+        pads into the already-compiled bucket instead of compiling a new
+        shape mid-run."""
         num = windows.shape[0]
         if num == 0:
             return np.zeros((0, self.ensemble.num_heads + 1), np.float32)
+        bucket = self._bucket(num)
         out = []
         i = 0
         while i < num:
-            take = min(self.infer.batch_size, num - i)
-            bucket = self._bucket(take)
+            take = min(bucket, num - i)
             batch = windows[i : i + take]
             if take < bucket:
                 batch = np.concatenate(

@@ -59,11 +59,14 @@ class ServingState:
             return self.pipeline.analyze_windows(windows, stamps, smooth=smooth)
 
     def warmup(self) -> None:
-        """Compile the smallest bucket so the first request is fast."""
-        dummy = np.zeros((1, self.pipeline.audio.window_samples), np.float32)
-        dummy[0, 0] = 1.0
-        with self.lock:
-            self.pipeline.logits_for_windows(dummy)
+        """Compile both serving buckets (short-clip and full-batch) so no
+        request pays an XLA compile."""
+        T = self.pipeline.audio.window_samples
+        for n in (1, self.pipeline.infer.batch_size):
+            dummy = np.zeros((n, T), np.float32)
+            dummy[:, 0] = 1.0
+            with self.lock:
+                self.pipeline.logits_for_windows(dummy)
 
 
 def make_handler(state: ServingState):
