@@ -108,6 +108,7 @@ class Trainer:
         self.start_epoch = 0
         self.layer3_unfrozen = False
 
+        self._orbax = None
         self.mesh = sh.create_mesh() if use_mesh and jax.device_count() > 1 else None
         self._train_step = jax.jit(
             steps.make_train_step(
@@ -154,6 +155,20 @@ class Trainer:
             "model_name": self.model_name,
             "class_names": self.class_names,
         }
+        if self.cfg.checkpoint_backend == "orbax":
+            if self._orbax is None:
+                from synthetic_audio_detection_tpu.checkpoints.orbax_io import (
+                    OrbaxCheckpointer,
+                )
+
+                self._orbax = OrbaxCheckpointer(path + ".orbax")
+            self._orbax.save(extra["total_steps"], payload, metadata=extra)
+            # keep the torch twin for reference-tooling interop
+            serialization.save_submodel_torch(
+                path + ".pth", payload["variables"], epoch=extra["epoch"],
+                best_acc=extra["best_acc"], total_steps=extra["total_steps"],
+            )
+            return
         serialization.save_native(path, payload, metadata=extra)
         # torch-contract twin so reference tooling can read our checkpoints
         serialization.save_submodel_torch(

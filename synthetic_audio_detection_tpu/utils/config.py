@@ -143,6 +143,9 @@ class TrainConfig:
     # or 'grain' (worker processes, deterministic global shuffle,
     # data/grain_pipeline.py)
     data_backend: str = "threads"
+    # checkpoint backend: 'native' (msgpack + torch twin) or 'orbax'
+    # (async step-indexed with retention, checkpoints/orbax_io.py)
+    checkpoint_backend: str = "native"
 
 
 @dataclass(frozen=True)
