@@ -117,7 +117,11 @@ def _forward_windows(
     """[B, T] waveform windows → [B, N+1] ensemble logits. Fully jitted:
     mel front end + channel fold + vmapped multi-head forward in one program.
     use_pallas=True routes the mel front end through the fused Pallas kernel
-    (ops.pallas_melspec) — TPU only."""
+    (ops.pallas_melspec) — TPU only. Integer-typed windows are int16 PCM
+    transport (4× less host→device traffic; exact for PCM sources) and are
+    dequantized here."""
+    if jnp.issubdtype(windows.dtype, jnp.integer):
+        windows = windows.astype(jnp.float32) / 32768.0
     if use_pallas:
         from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
 
@@ -160,6 +164,7 @@ class InferencePipeline:
         donate_windows: bool = False,
         use_pallas: Optional[bool] = None,
         mesh: Optional[Any] = None,
+        transport_dtype: str = "float32",
     ):
         self.ensemble = ensemble
         self.audio = audio or AudioConfig()
@@ -171,6 +176,12 @@ class InferencePipeline:
             # TPU backends: native 'tpu' or tunneled plugins exposing TPU devices
             use_pallas = jax.default_backend() in ("tpu", "axon")
         self.use_pallas = use_pallas
+        # 'int16' transports windows as PCM (¼ the host→device bytes — exact
+        # for PCM-sourced audio, ≤1.5e-5 quantization otherwise); matters on
+        # hosts with constrained upload bandwidth
+        if transport_dtype not in ("float32", "int16"):
+            raise ValueError(f"unsupported transport_dtype {transport_dtype!r}")
+        self.transport_dtype = transport_dtype
         # data-parallel serving: windows shard over the mesh 'data' axis,
         # params replicate — hour-long recordings scale across chips with the
         # window axis as the batch axis (SURVEY.md §5 long-context)
@@ -220,6 +231,10 @@ class InferencePipeline:
         if num == 0:
             return np.zeros((0, self.ensemble.num_heads + 1), np.float32)
         bucket = self._bucket(num)
+        if self.transport_dtype == "int16":
+            windows = np.clip(
+                np.round(windows.astype(np.float64) * 32768.0), -32768, 32767
+            ).astype(np.int16)
         out = []
         i = 0
         while i < num:

@@ -102,6 +102,22 @@ def test_unsmoothed_percentages_are_independent_sigmoids(tiny_pipeline, rng):
             probs[:, j].mean() * 100, abs=0.01)
 
 
+def test_int16_transport_matches_float(tiny_pipeline, rng):
+    """PCM-sourced windows through int16 transport give identical logits."""
+    from synthetic_audio_detection_tpu.infer.pipeline import InferencePipeline
+
+    pcm = rng.integers(-20000, 20000, (2, 128_000)).astype(np.int16)
+    windows = (pcm.astype(np.float32) / 32768.0)
+    p16 = InferencePipeline(
+        tiny_pipeline.ensemble, spec=tiny_pipeline.spec,
+        infer=tiny_pipeline.infer, use_pallas=False,
+        transport_dtype="int16",
+    )
+    a = tiny_pipeline.logits_for_windows(windows)
+    b = p16.logits_for_windows(windows)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_bucketing_padding_consistency(tiny_pipeline, rng):
     """Logits must be independent of how the batch is bucketed/padded."""
     windows = (rng.standard_normal((5, 128_000)) * 0.3).astype(np.float32)
