@@ -1,0 +1,97 @@
+"""Training throughput: segment-rows/sec/chip for the reference's Table II
+comparison (whitepaper: resnet152, 90M train samples → 18.5 h/epoch on a
+RTX 3090, 5.0 h on 4×A100).
+
+Measures the full jitted train step (device-side mel + SpecAugment + RRC +
+fwd/bwd + masked AdamW + NaN guard) with the same N-vs-1 chained fori_loop
+differencing as bench.py. Prints hours-per-90M-sample-epoch for a direct
+read against Table II.
+
+    python benchmarks/train_throughput.py --backbone resnet152 --batch 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+ITERS = 9
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--backbone", default="resnet18")
+    p.add_argument("--batch", type=int, default=16,
+                   help="segment rows per step")
+    p.add_argument("--input-size", type=int, default=512)
+    args = p.parse_args()
+
+    from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+    from synthetic_audio_detection_tpu.train import steps
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpecAugmentConfig,
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    cfg = TrainConfig(batch_size=args.batch)
+    spec = SpectrogramConfig(out_size=args.input_size)
+    model = BinaryClassifier(backbone=args.backbone, dtype=jnp.bfloat16)
+    state, tx = steps.create_train_state(
+        model, jax.random.PRNGKey(0), cfg, input_size=args.input_size
+    )
+    train_step = steps.make_train_step(
+        model, tx, cfg, spec, SpecAugmentConfig()
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(
+            rng.standard_normal((args.batch, 128_000)).astype(np.float32) * 0.2
+        ),
+        "label": jnp.asarray(
+            np.tile([0, 1], args.batch // 2 + 1)[: args.batch].astype(np.int32)
+        ),
+        "weight": jnp.ones(args.batch, jnp.float32),
+    }
+
+    def looped(n):
+        def body(i, st):
+            st2, m = train_step(st, batch, jax.random.fold_in(
+                jax.random.PRNGKey(7), i))
+            return st2
+
+        def run(s):
+            final = jax.lax.fori_loop(0, n, body, s)
+            return final.params["head"]["out"]["bias"].sum()
+
+        return jax.jit(run)
+
+    r1, rn = looped(1), looped(ITERS)
+    float(r1(state)); float(rn(state))
+    t0 = time.perf_counter(); float(r1(state)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(rn(state)); tn = time.perf_counter() - t0
+    per_step = max((tn - t1) / (ITERS - 1), 1e-9)
+
+    rows_per_sec = args.batch / per_step
+    hours_per_90m = 90e6 / rows_per_sec / 3600
+    print(json.dumps({
+        "backbone": args.backbone,
+        "batch_rows": args.batch,
+        "input_size": args.input_size,
+        "ms_per_step": round(per_step * 1e3, 2),
+        "rows_per_sec_per_chip": round(rows_per_sec, 1),
+        "hours_per_90M_sample_epoch": round(hours_per_90m, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
