@@ -74,6 +74,16 @@ def test_torch_reads_our_writer(tmp_path, rng):
     np.testing.assert_array_equal(got["state_dict"]["y"].numpy(), obj["state_dict"]["y"])
 
 
+def test_bf16_tensor_read(tmp_path):
+    """bf16 storages widen to float32 exactly (zero-padded mantissa)."""
+    t = torch.randn(5, 3, dtype=torch.bfloat16)
+    p = tmp_path / "bf16.pth"
+    torch.save({"w": t}, str(p))
+    got = torch_pickle.load(str(p))
+    np.testing.assert_allclose(got["w"], t.float().numpy(), atol=0)
+    assert got["w"].dtype == np.float32
+
+
 def test_blocked_unpickle_raises(tmp_path):
     import pickle
 
