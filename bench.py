@@ -61,7 +61,20 @@ def _looped(fwd, n_iters: int):
     return jax.jit(run, static_argnums=())
 
 
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache: repeated bench runs (and the driver's
+    round-end run) reuse compiled executables instead of paying multi-minute
+    remote compiles."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: cache is an optimization only
+
+
 def main() -> None:
+    _enable_compile_cache()
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
