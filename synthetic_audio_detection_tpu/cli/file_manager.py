@@ -23,8 +23,13 @@ def main(argv=None) -> int:
     report = check_overlap(args.input_dir, fix=args.fix)
     total = 0
     for cls, overlaps in sorted(report.overlaps.items()):
+        if overlaps:
+            # per-class detail table (reference prints per-group counts,
+            # file_manager.py:176-210)
+            print(f"\nClass: {cls} — {len(overlaps)} overlapping group(s)")
+            print(f"  {'group':<20} {'train':>6} {'test':>6} {'moves':>6}")
         for key, (n_tr, n_te) in sorted(overlaps.items()):
-            print(f"{cls}: group {key} on both sides (train={n_tr}, test={n_te})")
+            print(f"  {key:<20} {n_tr:>6} {n_te:>6} {min(n_tr, n_te):>6}")
             total += 1
     if args.fix:
         print(f"Fixed: moved {report.moved}, deleted {report.deleted}")

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("threads", "grain"),
                    help="Input pipeline: thread pool (default) or grain "
                    "worker processes")
+    p.add_argument("--reference-quirk-loss", action="store_true",
+                   help="Reproduce the reference trainer's head-not-in-loss "
+                   "bug exactly (CE over pooled backbone features; "
+                   "SURVEY.md §2.2). Default: the sane head-in-loss path.")
     return p
 
 
@@ -87,7 +91,8 @@ def main(argv=None) -> int:
 
     spec_cfg = SpectrogramConfig(mel_norm=None, out_size=args.input_size)
     trainer = Trainer(cfg, model_name=args.model_name, spec_cfg=spec_cfg,
-                      log_dir=args.log_dir or None)
+                      log_dir=args.log_dir or None,
+                      reference_quirk_loss=args.reference_quirk_loss)
     if args.evaluate:
         trainer.evaluate()
         return 0

@@ -188,12 +188,19 @@ def make_train_step(
     augment: Optional[SpecAugmentConfig] = None,
     sample_rate: int = 32_000,
     from_waveforms: bool = True,
+    reference_quirk_loss: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: {'audio': [B, T] or 'image': [B, S, S, 3], 'label': [B] int32}.
     One XLA program: feature extraction + fwd + bwd + masked update + NaN skip.
-    """
+
+    reference_quirk_loss=True reproduces the reference trainer's bug exactly
+    (SURVEY.md §2.2): timm ResNets classify via ``.fc`` not ``.head``, so its
+    `model(inputs)` returns the POOLED BACKBONE FEATURES and the CE loss at
+    submodel_trainer.py:263 treats the num_features-dim feature vector as
+    class scores for targets {0, 1} — the custom head is never in the loss.
+    Default False (the sane head-in-the-loss path, per SURVEY.md §7.3)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         rng_mask, rng_drop = jax.random.split(rng)
@@ -207,6 +214,24 @@ def make_train_step(
         weights = batch.get("weight")
 
         def loss_fn(params):
+            if reference_quirk_loss:
+                from synthetic_audio_detection_tpu.models.resnet import create_resnet
+
+                base = create_resnet(model.backbone, model.in_channels,
+                                     model.dtype, module_name="base")
+                feats, mutated = base.apply(
+                    {"params": params["base"],
+                     "batch_stats": state.batch_stats["base"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                # pooled features AS the "logits" (the reference's bug)
+                out = feats.mean(axis=(1, 2))
+                loss = cross_entropy(out, labels, weights)
+                new_stats = {"batch_stats": {
+                    "base": mutated["batch_stats"],
+                    "head": state.batch_stats["head"],
+                }}
+                return loss, (out, new_stats["batch_stats"])
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x,
@@ -223,15 +248,20 @@ def make_train_step(
 
         # freeze mask: zero out gradients of frozen params BEFORE the optimizer
         # so Adam moments don't accumulate on them
-        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, state.param_mask)
+        mask = state.param_mask
+        if reference_quirk_loss:
+            # torch skips grad-None params entirely (no AdamW weight decay):
+            # with the quirk loss only the backbone is in the graph, so the
+            # head must receive no updates at all
+            quirk_mask = freeze_mask(state.params, ("base",))
+            mask = jax.tree_util.tree_map(lambda a, b: a * b, mask, quirk_mask)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
 
         # plateau lr scale enters through the injected hyperparam
         opt_state = state.opt_state
         opt_state.hyperparams["lr"] = cfg.lr * state.lr_scale
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
-        updates = jax.tree_util.tree_map(
-            lambda u, m: u * m, updates, state.param_mask
-        )
+        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
         new_params = optax.apply_updates(state.params, updates)
 
         # NaN/Inf guard: keep the old state entirely (reference skips the

@@ -88,6 +88,7 @@ class Trainer:
         log_dir: Optional[str] = None,
         use_mesh: bool = True,
         class_names: Optional[List[str]] = None,
+        reference_quirk_loss: bool = False,
     ):
         self.cfg = cfg
         self.spec_cfg = spec_cfg or SpectrogramConfig.train()
@@ -112,7 +113,8 @@ class Trainer:
         self.mesh = sh.create_mesh() if use_mesh and jax.device_count() > 1 else None
         self._train_step = jax.jit(
             steps.make_train_step(
-                self.model, self.tx, cfg, self.spec_cfg, self.augment
+                self.model, self.tx, cfg, self.spec_cfg, self.augment,
+                reference_quirk_loss=reference_quirk_loss,
             ),
             donate_argnums=(0,),
         )

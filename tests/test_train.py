@@ -196,3 +196,34 @@ def test_tb_events_readable_by_tensorboard_if_available(tmp_path):
     assert events[1].step == 7
     assert events[1].summary.value[0].tag == "x"
     assert events[1].summary.value[0].simple_value == 1.25
+
+
+def test_reference_quirk_loss_semantics(tiny_train_setup):
+    """SURVEY.md §2.2: with the reference's head-not-in-loss quirk, CE is
+    computed over pooled backbone features; the head receives NO updates
+    (torch skips grad-None params, including AdamW decay)."""
+    from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+    from synthetic_audio_detection_tpu.train import steps
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpecAugmentConfig,
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    cfg = TrainConfig(batch_size=2, lr=1e-3)
+    spec = SpectrogramConfig(out_size=64)
+    model = BinaryClassifier(backbone="resnet18")
+    state, tx = steps.create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                         input_size=64)
+    step = jax.jit(steps.make_train_step(
+        model, tx, cfg, spec, SpecAugmentConfig(), reference_quirk_loss=True))
+    new_state, m = step(state, _batch(), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["head"]["fc1"]["kernel"]),
+        np.asarray(new_state.params["head"]["fc1"]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(state.params["base"]["layer4_0"]["conv1"]["kernel"]),
+        np.asarray(new_state.params["base"]["layer4_0"]["conv1"]["kernel"]),
+    )
