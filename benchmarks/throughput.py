@@ -174,6 +174,71 @@ PRESETS = {
 }
 
 
+def int8_agreement(
+    batch: int = 128, heads: int = 6, input_size: int = 512,
+    backbone: str = "resnet18", use_pallas: bool = True,
+) -> dict:
+    """Accuracy contract for the int8 path ON THE RUNNING BACKEND: argmax
+    agreement + worst logit deviation between the bf16 ensemble forward and
+    the int8-PTQ forward on identical windows. (tests/test_quantized.py
+    checks this on CPU; this checks it where serving actually runs.)"""
+    import dataclasses as dc
+
+    from __graft_entry__ import _flagship_ensemble
+    from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
+    from synthetic_audio_detection_tpu.models.quantized import (
+        quantize_ensemble,
+        quantized_ensemble_forward,
+    )
+    from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+    from synthetic_audio_detection_tpu.ops import melspec as M
+    from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
+
+    ens = _flagship_ensemble(n_heads=heads, backbone=backbone,
+                             shared_backbone=True, dtype=jnp.bfloat16)
+    spec = SpectrogramConfig(mel_norm="slaney", out_size=input_size)
+    qens = quantize_ensemble(ens)
+
+    fwd_bf16 = jax.jit(functools.partial(
+        _forward_windows, ensemble=ens, spec_cfg=spec, sample_rate=32_000,
+        use_gemm_dft=True, compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
+    ))
+
+    def _fwd_int8(qvars, windows):
+        if use_pallas:
+            z = fused_log_mel(windows, spec, 32_000)
+        else:
+            z = M.standardize(M.amplitude_to_db(
+                M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
+        feats = jax.image.resize(
+            z, (z.shape[0], input_size, input_size), method="linear")
+        x = jnp.broadcast_to(feats[..., None], (*feats.shape, 3))
+        q = dc.replace(qens, qbackbone=qvars[0], head_variables=qvars[1])
+        return quantized_ensemble_forward(q, x)
+
+    fwd_int8 = jax.jit(_fwd_int8)
+
+    rng = np.random.default_rng(7)
+    windows = jnp.asarray(
+        rng.standard_normal((batch, 128_000)).astype(np.float32) * 0.3
+    )
+    lb = np.asarray(fwd_bf16(ens.variables, windows), np.float32)
+    li = np.asarray(
+        fwd_int8((qens.qbackbone, qens.head_variables), windows), np.float32
+    )
+    agree = float(np.mean(lb.argmax(-1) == li.argmax(-1)))
+    # sigmoid-space deviation is what the decision rule actually consumes
+    pb, pi = 1 / (1 + np.exp(-lb)), 1 / (1 + np.exp(-li))
+    return {
+        "check": "int8_vs_bf16_agreement",
+        "batch": batch,
+        "input_size": input_size,
+        "argmax_agreement": agree,
+        "max_sigmoid_dev": float(np.max(np.abs(pb - pi))),
+        "mean_sigmoid_dev": float(np.mean(np.abs(pb - pi))),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="*", default=["default"],
@@ -183,7 +248,16 @@ def main() -> None:
     p.add_argument("--input-size", type=int)
     p.add_argument("--dtype", choices=["bf16", "f32"])
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--agreement", action="store_true",
+                   help="Also run the int8-vs-bf16 argmax agreement check")
     args = p.parse_args()
+
+    if args.agreement:
+        print(json.dumps(int8_agreement(
+            batch=args.batch or 128,
+            input_size=args.input_size or 512,
+            use_pallas=not args.no_pallas,
+        )))
 
     for name in args.configs:
         cfg = dict(PRESETS[name])

@@ -146,7 +146,7 @@ def load_submodel_torch(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     extras: Dict[str, Any] = {}
     if isinstance(obj, dict) and "state_dict" in obj:
         sd = obj["state_dict"]
-        for k in ("epoch", "best_acc", "total_steps"):
+        for k in ("epoch", "best_acc", "total_steps", "scheduler", "optimizer"):
             if k in obj:
                 extras[k] = obj[k]
     else:
@@ -154,6 +154,7 @@ def load_submodel_torch(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     flavor = torch_compat.detect_checkpoint_flavor(sd)
     prefix = "base." if flavor == "classifier" else ""
     variables = torch_compat.classifier_variables_from_torch(sd, base_prefix=prefix)
+    extras["flavor"] = flavor
     return variables, extras
 
 

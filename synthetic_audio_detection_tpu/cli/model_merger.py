@@ -29,6 +29,18 @@ def build_parser() -> argparse.ArgumentParser:
                    '"synthetic_class", and "real_class".')
     p.add_argument("--model-name", type=str, default="resnet18")
     p.add_argument("--output-path", type=str, required=True)
+    p.add_argument(
+        "--reference-merge-semantics", action="store_true",
+        help="Reproduce the reference merger's strict=False load "
+        "(model_merger.py:55): trainer-style checkpoints contribute ONLY "
+        "their head; backbones come from --backbone-weights (the stand-in "
+        "for timm's ImageNet pretrained weights).",
+    )
+    p.add_argument(
+        "--backbone-weights", type=str, default=None,
+        help="Donor checkpoint (.pth or native) supplying backbone weights "
+        "under --reference-merge-semantics.",
+    )
     return p
 
 
@@ -39,7 +51,9 @@ def main(argv=None) -> int:
     from synthetic_audio_detection_tpu.ensemble.merger import merge_models, save_merged
 
     ensemble = merge_models(
-        args.submodels_folder, args.csv_file, backbone=args.model_name
+        args.submodels_folder, args.csv_file, backbone=args.model_name,
+        reference_semantics=args.reference_merge_semantics,
+        backbone_weights=args.backbone_weights,
     )
     save_merged(ensemble, args.output_path)
     print(f"Merged {ensemble.num_heads} sub-models "

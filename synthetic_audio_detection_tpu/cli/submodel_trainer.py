@@ -19,7 +19,12 @@ import os
 import sys
 import time
 
-BACKBONES = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+# Every vanilla-topology timm resnet* name (models/resnet.py:RESNET_SPECS).
+# Unknown names are rejected with this choices list, reproducing the
+# reference's argparse behavior (submodel_trainer.py:51-52).
+from synthetic_audio_detection_tpu.models.resnet import RESNET_SPECS
+
+BACKBONES = tuple(sorted(RESNET_SPECS))
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -144,11 +144,20 @@ class WaveformBatcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        producer_error: List[BaseException] = []
+
         def producer():
-            with cf.ThreadPoolExecutor(max_workers=self.workers) as ex:
-                for chunk in chunks:
-                    q.put(self._make_batch(chunk, ex))
-            q.put(sentinel)
+            # The sentinel MUST reach the queue even if _make_batch raises:
+            # otherwise the consumer blocks on q.get() forever. The exception
+            # is carried out and re-raised on the consumer side.
+            try:
+                with cf.ThreadPoolExecutor(max_workers=self.workers) as ex:
+                    for chunk in chunks:
+                        q.put(self._make_batch(chunk, ex))
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                producer_error.append(e)
+            finally:
+                q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -159,6 +168,8 @@ class WaveformBatcher:
             if item is not None:
                 yield item
         t.join()
+        if producer_error:
+            raise producer_error[0]
 
 
 def pad_batch(

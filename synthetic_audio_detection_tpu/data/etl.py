@@ -233,7 +233,6 @@ def split_dataset(
     per-class ratios without leakage in one pass; ``group_aware=False``
     reproduces the reference's file-level behavior exactly.
     """
-    rng = random.Random(seed)
     classes = [
         d for d in sorted(os.listdir(input_dir))
         if os.path.isdir(os.path.join(input_dir, d))
@@ -241,6 +240,10 @@ def split_dataset(
     report = SplitReport()
 
     def process_class(cls: str):
+        # Per-class RNG derived from (seed, class): seeded splits stay
+        # deterministic regardless of thread scheduling (random.Random is not
+        # thread-safe and call interleaving varies across runs).
+        rng = random.Random(None if seed is None else f"{seed}/{cls}")
         cls_dir = os.path.join(input_dir, cls)
         files = sorted(
             f for f in os.listdir(cls_dir) if f.lower().endswith(".wav")

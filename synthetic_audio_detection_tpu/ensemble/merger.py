@@ -100,24 +100,81 @@ def _complete_variables(
     }
 
 
+def _load_backbone_donor(path: str, model: BinaryClassifier) -> Dict[str, Any]:
+    """Load the backbone ('base') subtree from a donor checkpoint — torch
+    ``.pth``/``.pt`` (any flavor) or a native trainer checkpoint. This stands
+    in for the reference merger's ``timm.create_model(pretrained=True)``
+    ImageNet weights (model_merger.py:24): the reference gets its merged
+    backbones from timm's download cache, we get them from an explicit file."""
+    if path.endswith((".pth", ".pt")):
+        variables, _ = serialization.load_submodel_torch(path)
+    else:
+        tree, _ = serialization.load_native(path)
+        variables = tree["variables"] if "variables" in tree else tree
+    variables = _complete_variables(variables, model)
+    return {
+        "params": variables["params"]["base"],
+        "batch_stats": variables["batch_stats"]["base"],
+    }
+
+
 def merge_models(
     submodels_folder: str,
     csv_path: str,
     backbone: str = "resnet18",
     smoke_test: bool = True,
+    reference_semantics: bool = False,
+    backbone_weights: Optional[str] = None,
 ) -> MultiHeadEnsemble:
     """Assemble a MultiHeadEnsemble from a CSV recipe of sub-model ``.pth`` /
-    native checkpoints (model_merger.py:93-151)."""
+    native checkpoints (model_merger.py:93-151).
+
+    ``reference_semantics=True`` reproduces the reference merger's
+    ``load_state_dict(sd, strict=False)`` into ``BinaryClassifier``
+    (model_merger.py:50-55): for trainer-style checkpoints (unprefixed timm
+    backbone keys) only ``head.*`` matches the classifier's key space, so the
+    merged backbone keeps the *donor* weights (ImageNet in the reference,
+    ``backbone_weights`` here) and ONLY the head is imported. Checkpoints
+    that already carry ``base.*`` keys match fully either way. The default
+    (False) imports trainer backbones too — saner, but produces different
+    logits than the reference merger would for trainer-style inputs.
+    """
     import os
+
+    if reference_semantics and not backbone_weights:
+        raise ValueError(
+            "--reference-merge-semantics requires --backbone-weights: the "
+            "reference merger takes backbone weights from timm's ImageNet "
+            "download (model_merger.py:24); supply an equivalent donor "
+            "checkpoint (.pth or native) to stand in for it."
+        )
 
     rows = read_merge_recipe(csv_path)
     model = BinaryClassifier(backbone=backbone)
+    donor = (
+        _load_backbone_donor(backbone_weights, model)
+        if reference_semantics
+        else None
+    )
     variable_dicts = []
     synthetic_names = []
     real_names = []
     for row in rows:
         path = os.path.join(submodels_folder, row["model_filename"])
         variables, extras = serialization.load_submodel_torch(path)
+        if donor is not None and extras.get("flavor") == "trainer":
+            # strict=False semantics: trainer backbones don't match 'base.*'
+            # → keep the donor backbone, import only the trained head.
+            variables = {
+                "params": {
+                    "base": donor["params"],
+                    "head": variables["params"].get("head", {}),
+                },
+                "batch_stats": {
+                    "base": donor["batch_stats"],
+                    "head": variables["batch_stats"].get("head", {}),
+                },
+            }
         variables = _complete_variables(variables, model)
         variable_dicts.append(variables)
         synthetic_names.append(row["synthetic_class"] or f"Synthetic_{len(synthetic_names)+1}")

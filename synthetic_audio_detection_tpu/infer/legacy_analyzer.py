@@ -111,7 +111,11 @@ class LegacyAudioAnalyzer:
     # -- preprocessing -------------------------------------------------------
 
     def preprocess(self, path: str) -> np.ndarray:
-        wf, sr = wavio.read_wav(path)
+        # torchaudio.load-equivalent container support (inference_script.py
+        # decodes any container torchaudio handles): non-WAV → ffmpeg.
+        from synthetic_audio_detection_tpu.audio.decode import load_audio
+
+        wf, sr = load_audio(path)
         mono = wf.mean(axis=0)
         if sr != self.audio.target_sample_rate:
             # host polyphase resample: variable lengths would recompile the

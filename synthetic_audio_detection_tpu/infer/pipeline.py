@@ -59,8 +59,12 @@ def preprocess_waveform(
 ) -> np.ndarray:
     """Load → mono mean → resample to target rate → pad to ≥1 window.
 
-    Mirrors inference_runner.py:144-155. Returns float32 [T]."""
-    wf, sr = wavio.read_wav(path)
+    Mirrors inference_runner.py:144-155, including torchaudio.load's
+    container support: non-WAV inputs decode through ffmpeg
+    (audio/decode.py). Returns float32 [T]."""
+    from synthetic_audio_detection_tpu.audio.decode import load_audio
+
+    wf, sr = load_audio(path)
     mono = wf.mean(axis=0)
     if sr != audio.sample_rate:
         # host polyphase twin of ops.resample: arbitrary file lengths would
@@ -173,8 +177,15 @@ class InferencePipeline:
         self.use_gemm_dft = use_gemm_dft
         self.compute_dtype = compute_dtype
         if use_pallas is None:
-            # TPU backends: native 'tpu' or tunneled plugins exposing TPU devices
-            use_pallas = jax.default_backend() in ("tpu", "axon")
+            # Auto-enable the fused Pallas mel front end only on TPU backends
+            # AND when the pipeline already computes in a reduced dtype: the
+            # kernel's DFT matmuls run in bf16, so a float32 pipeline must
+            # stay on the f32 jnp path end to end (near-threshold verdicts
+            # would otherwise differ between TPU and CPU runs).
+            use_pallas = (
+                jax.default_backend() in ("tpu", "axon")
+                and jnp.dtype(compute_dtype) != jnp.float32
+            )
         self.use_pallas = use_pallas
         # 'int16' transports windows as PCM (¼ the host→device bytes — exact
         # for PCM-sourced audio, ≤1.5e-5 quantization otherwise); matters on

@@ -21,13 +21,19 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-# stage depths per variant
+# stage depths per variant: every timm `resnet*` name with the VANILLA
+# topology (7x7 stem, identity/1x1-downsample residuals) that the reference's
+# `--model-name` choices expose (submodel_trainer.py:51-52). Tweaked-stem
+# variants (resnet10t/26d/50s/…) have a different key space and are rejected
+# by name, matching argparse's choices error.
 RESNET_SPECS = {
     "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet26": ("bottleneck", (2, 2, 2, 2)),
     "resnet34": ("basic", (3, 4, 6, 3)),
     "resnet50": ("bottleneck", (3, 4, 6, 3)),
     "resnet101": ("bottleneck", (3, 4, 23, 3)),
     "resnet152": ("bottleneck", (3, 8, 36, 3)),
+    "resnet200": ("bottleneck", (3, 24, 36, 3)),
 }
 
 BN_EPS = 1e-5

@@ -42,3 +42,28 @@ class PlateauState:
     @classmethod
     def from_state_dict(cls, d: dict) -> "PlateauState":
         return cls(**d)
+
+    @classmethod
+    def from_torch_state_dict(
+        cls, d: dict, base_lr: float = 1.0
+    ) -> "PlateauState":
+        """Map a torch ReduceLROnPlateau.state_dict() (the ``scheduler`` entry
+        of a reference checkpoint, submodel_trainer.py:712) onto this state
+        machine. ``scale`` is recovered from ``_last_lr`` relative to
+        ``base_lr`` when present (older torch omits it → scale stays 1.0).
+        torch's fresh ``best`` is +inf (mode='min'); our update() treats it the
+        same as None, so it is kept verbatim."""
+        last_lr = d.get("_last_lr") or []
+        scale = float(last_lr[0]) / base_lr if last_lr and base_lr else 1.0
+        best = d.get("best")
+        if best is not None and best == float("inf"):
+            best = None
+        return cls(
+            factor=float(d.get("factor", 0.5)),
+            patience=int(d.get("patience", 2)),
+            threshold=float(d.get("threshold", 1e-4)),
+            min_scale=0.0,
+            best=None if best is None else float(best),
+            num_bad_epochs=int(d.get("num_bad_epochs", 0)),
+            scale=scale,
+        )

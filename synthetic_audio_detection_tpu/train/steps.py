@@ -13,7 +13,8 @@ Reference training semantics reproduced (submodel_trainer.py:241-313,646-660):
   epoch == epochs//3 (:609-633, :687-691) — implemented as a traced 0/1
   parameter mask multiplied into the updates, so one compiled step serves all
   phases.
-- ReduceLROnPlateau(factor=0.5, patience=2) on val loss (:655-660) — host-side
+- ReduceLROnPlateau(factor=0.5, patience=2) on the TRAIN epoch loss (:307-309,
+  :654-660) — host-side
   state (train/plateau.py); the lr scale enters the step as a scalar operand.
 - BatchNorm running stats update in train mode (torch momentum 0.1).
 

@@ -2,11 +2,12 @@
 
 Reproduces the reference main-loop behavior (submodel_trainer.py:531-727):
 seeded init, frozen-backbone start, layer3 unfreeze at epochs//3, per-epoch
-train + validate, ReduceLROnPlateau on val loss, classification report each
-epoch, best-val-accuracy checkpointing with full resume (epoch, params,
-optimizer, scheduler, step counter), TensorBoard scalars every
-``log_every_steps`` and per epoch, and a final --evaluate pass with confusion
-matrix.
+train + validate, ReduceLROnPlateau stepped on the TRAIN epoch loss inside
+the train pass (submodel_trainer.py:307-309), classification report each
+epoch, best-val-accuracy checkpointing with full resume (params, optimizer,
+scheduler, step counter, and ``start_epoch = saved_epoch + 1`` per
+submodel_trainer.py:677), TensorBoard scalars every ``log_every_steps`` and
+per epoch, and a final --evaluate pass with confusion matrix.
 
 TPU-native layout: the host loop only moves file bytes and scalars; mel
 features, fwd/bwd, the masked-AdamW update, and the NaN guard all live in ONE
@@ -182,16 +183,38 @@ class Trainer:
         )
 
     def resume(self, path: str) -> None:
-        """Restore params/opt/scheduler/step (reference --resume restores all,
-        submodel_trainer.py:669-682). Accepts native or torch checkpoints."""
+        """Restore params/opt/scheduler/step and set ``start_epoch`` to the
+        saved epoch + 1, matching submodel_trainer.py:672-677 (the saved epoch
+        already completed). Accepts native or torch checkpoints. Torch resumes
+        restore the scheduler when the checkpoint carries a usable
+        ReduceLROnPlateau state dict; torch AdamW moment tensors are NOT
+        mapped onto optax state (logged as a warning) — the optimizer restarts
+        from fresh moments, everything else matches."""
         if path.endswith((".pth", ".pt")):
             variables, extras = serialization.load_submodel_torch(path)
             self.state = self.state.replace(
                 params=variables["params"],
                 batch_stats=variables["batch_stats"],
             )
-            self.start_epoch = int(extras.get("epoch", 0))
+            self.start_epoch = int(extras.get("epoch", -1)) + 1
             self.best_acc = float(extras.get("best_acc", 0.0))
+            if "total_steps" in extras:
+                self.state = self.state.replace(
+                    step=jnp.asarray(int(extras["total_steps"]), jnp.int32)
+                )
+            sched = extras.get("scheduler")
+            if isinstance(sched, dict) and sched:
+                self.plateau = PlateauState.from_torch_state_dict(
+                    sched, base_lr=self.cfg.lr
+                )
+                self.state = self.state.replace(
+                    lr_scale=jnp.asarray(self.plateau.scale, jnp.float32)
+                )
+            log.warning(
+                "torch-ckpt resume: optimizer moments not restored "
+                "(torch AdamW state has no optax mapping); params/batch_stats/"
+                "scheduler/epoch restored"
+            )
             log.info("resumed (torch ckpt) at epoch %d", self.start_epoch)
             return
         from flax import serialization as flax_ser
@@ -210,7 +233,7 @@ class Trainer:
             lr_scale=jnp.asarray(self.plateau.scale, jnp.float32)
         )
         self.best_acc = float(meta.get("best_acc", 0.0))
-        self.start_epoch = int(meta.get("epoch", 0))
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
         if meta.get("layer3_unfrozen"):
             self.state = steps.unfreeze_layer3(self.state)
             self.layer3_unfrozen = True
@@ -235,6 +258,7 @@ class Trainer:
     def train_epoch(self, batcher: ds.WaveformBatcher, epoch: int) -> Dict[str, float]:
         target_rows = 2 * batcher.batch_size
         losses, accs = [], []
+        m = None
         t0 = time.time()
         for i, batch in enumerate(self._batches(batcher, epoch, target_rows)):
             self.rng, step_rng = jax.random.split(self.rng)
@@ -254,9 +278,13 @@ class Trainer:
                     epoch, step, loss, acc,
                     (i + 1) * target_rows / (time.time() - t0),
                 )
-        if not losses:  # short epochs: still report something
-            m = jax.tree_util.tree_map(float, m) if "m" in dir() else {"loss": 0.0, "accuracy": 0.0}
-            losses, accs = [m["loss"]], [m["accuracy"]]
+        if not losses:  # short epochs (or truly empty ones): still report
+            last = (
+                jax.tree_util.tree_map(float, m)
+                if m is not None
+                else {"loss": 0.0, "accuracy": 0.0}
+            )
+            losses, accs = [last["loss"]], [last["accuracy"]]
         return {"loss": float(np.mean(losses)), "accuracy": float(np.mean(accs))}
 
     def validate(self, batcher: ds.WaveformBatcher, epoch: int) -> EpochResult:
@@ -302,11 +330,13 @@ class Trainer:
                 log.info("epoch %d: unfroze layer3 (epochs//3 schedule)", epoch)
 
             tr = self.train_epoch(train_batcher, epoch)
-            result = self.validate(val_batcher, epoch)
-            scale = self.plateau.update(result.val_loss)
+            # Reference steps ReduceLROnPlateau on the TRAIN epoch loss inside
+            # train(), before validation (submodel_trainer.py:307-309).
+            scale = self.plateau.update(tr["loss"])
             self.state = self.state.replace(
                 lr_scale=jnp.asarray(scale, jnp.float32)
             )
+            result = self.validate(val_batcher, epoch)
 
             self.writer.add_scalar("epoch/train_loss", tr["loss"], epoch)
             self.writer.add_scalar("epoch/val_loss", result.val_loss, epoch)

@@ -130,3 +130,72 @@ def test_shared_backbone_path_matches_dense(rng):
         ensemble_forward(dataclasses.replace(ens, shared_backbone=False), x)
     )
     np.testing.assert_allclose(fast, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_reference_merge_semantics_head_only(tmp_path):
+    """model_merger.py:50-55: trainer-style ckpts load into BinaryClassifier
+    with strict=False, so ONLY head.* imports — merged backbones keep the
+    donor ('ImageNet') weights. Default mode imports the trainer backbone
+    too, so the two modes must produce different logits."""
+    from synthetic_audio_detection_tpu.checkpoints import torch_compat, torch_pickle
+    from synthetic_audio_detection_tpu.checkpoints.serialization import (
+        save_submodel_torch,
+    )
+    from synthetic_audio_detection_tpu.ensemble.merger import merge_models
+    from synthetic_audio_detection_tpu.models.classifier import (
+        BinaryClassifier,
+        init_classifier,
+    )
+
+    model = BinaryClassifier(backbone="resnet18")
+    trained = init_classifier(model, jax.random.PRNGKey(1), input_size=64)
+    donor = init_classifier(model, jax.random.PRNGKey(2), input_size=64)
+
+    # trainer-style .pth: unprefixed timm backbone keys + head.* keys
+    sd = torch_compat.torch_state_dict_from_variables(trained)
+    trainer_sd = {
+        (k[len("base."):] if k.startswith("base.") else k): v
+        for k, v in sd.items()
+    }
+    torch_pickle.save(
+        {"epoch": 0, "state_dict": trainer_sd, "best_acc": 0.9,
+         "optimizer": {}, "scheduler": {}, "total_steps": 10},
+        tmp_path / "sub.pth",
+    )
+    save_submodel_torch(str(tmp_path / "donor.pth"), donor)
+    (tmp_path / "recipe.csv").write_text(
+        "model_filename,synthetic_class,real_class\nsub.pth,SynA,Real\n"
+    )
+
+    ref = merge_models(
+        str(tmp_path), str(tmp_path / "recipe.csv"), smoke_test=False,
+        reference_semantics=True,
+        backbone_weights=str(tmp_path / "donor.pth"),
+    )
+    full = merge_models(
+        str(tmp_path), str(tmp_path / "recipe.csv"), smoke_test=False,
+    )
+
+    # reference mode: backbone == donor, head == trained
+    np.testing.assert_allclose(
+        np.asarray(ref.variables["params"]["base"]["conv1"]["kernel"][0]),
+        np.asarray(donor["params"]["base"]["conv1"]["kernel"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.variables["params"]["head"]["fc1"]["kernel"][0]),
+        np.asarray(trained["params"]["head"]["fc1"]["kernel"]),
+    )
+    # default mode: backbone == trained
+    np.testing.assert_allclose(
+        np.asarray(full.variables["params"]["base"]["conv1"]["kernel"][0]),
+        np.asarray(trained["params"]["base"]["conv1"]["kernel"]),
+    )
+    # and the two modes really diverge
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3), jnp.float32)
+    assert not np.allclose(np.asarray(ref(x)), np.asarray(full(x)))
+
+    with pytest.raises(ValueError, match="backbone-weights"):
+        merge_models(
+            str(tmp_path), str(tmp_path / "recipe.csv"),
+            smoke_test=False, reference_semantics=True,
+        )

@@ -100,3 +100,35 @@ def test_group_key_extraction():
     assert etl.extract_group_key("abc123_Segment_001.wav") == "abc123"
     assert etl.extract_group_key("abc123_speed_up_1.2_Segment_001.wav") == "abc123"
     assert etl.extract_group_key("plain.wav") == "plain"
+
+
+def test_threaded_split_deterministic(tmp_path):
+    """Seeded splits must be identical regardless of thread count: the RNG is
+    derived per (seed, class), so worker interleaving cannot perturb it."""
+    def build(root):
+        rng = np.random.default_rng(0)
+        for cls in ("Real", "SynA", "SynB"):
+            d = root / cls
+            d.mkdir(parents=True)
+            for i in range(6):
+                h = f"{cls}{i:014x}"[:16]
+                for s in range(3):
+                    y = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+                    wavio.write_wav(d / f"{h}_Segment_{s:03d}.wav", y, 32000)
+
+    def run(tag, threads):
+        root = tmp_path / f"in_{tag}"
+        build(root)
+        out = tmp_path / f"out_{tag}"
+        etl.split_dataset(str(root), str(out), 0.5, seed=7, threads=threads)
+        return {
+            (split, cls): sorted(os.listdir(out / split / cls))
+            for split in ("train", "test")
+            for cls in ("Real", "SynA", "SynB")
+            if (out / split / cls).is_dir()
+        }
+
+    a = run("a", threads=1)
+    b = run("b", threads=4)
+    c = run("c", threads=4)
+    assert a == b == c

@@ -126,3 +126,50 @@ def test_bucketing_padding_consistency(tiny_pipeline, rng):
         [tiny_pipeline.logits_for_windows(windows[i : i + 1]) for i in range(5)]
     )
     np.testing.assert_allclose(all_at_once, one_by_one, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_autogate_respects_compute_dtype(tiny_pipeline, monkeypatch):
+    """On TPU backends the fused (bf16-DFT) Pallas mel front end may only
+    auto-enable for reduced-precision pipelines; float32 pipelines stay
+    float32 end to end so near-threshold verdicts match CPU/reference runs."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    ens = tiny_pipeline.ensemble
+    spec = SpectrogramConfig(mel_norm="slaney", out_size=64)
+    p32 = InferencePipeline(ens, spec=spec, compute_dtype=jnp.float32)
+    assert p32.use_pallas is False
+    pbf = InferencePipeline(ens, spec=spec, compute_dtype=jnp.bfloat16)
+    assert pbf.use_pallas is True
+    forced = InferencePipeline(
+        ens, spec=spec, compute_dtype=jnp.float32, use_pallas=True
+    )
+    assert forced.use_pallas is True  # explicit choice always wins
+
+
+def test_load_audio_non_wav_dispatch(tmp_path, rng):
+    """inference_runner.py:145 decodes any torchaudio container; our serving
+    path must route non-WAV through ffmpeg (or error clearly without it)."""
+    import shutil
+    import subprocess
+
+    from synthetic_audio_detection_tpu.audio import wavio
+    from synthetic_audio_detection_tpu.audio.decode import load_audio
+
+    y = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    src = tmp_path / "a.wav"
+    wavio.write_wav(src, y, 32000)
+    wf, sr = load_audio(str(src))  # WAV path: native parser
+    assert sr == 32000 and wf.shape[1] == 32000
+
+    if shutil.which("ffmpeg"):
+        flac = tmp_path / "a.flac"
+        subprocess.run(
+            ["ffmpeg", "-loglevel", "error", "-y", "-i", str(src), str(flac)],
+            check=True,
+        )
+        wf2, sr2 = load_audio(str(flac))
+        assert sr2 == 32000
+        np.testing.assert_allclose(wf2[0], wf[0], atol=2e-4)  # flac lossless, 16-bit quant
+    else:
+        (tmp_path / "b.mp3").write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            load_audio(str(tmp_path / "b.mp3"))

@@ -37,8 +37,9 @@ def test_resnet50_logit_parity(rng):
 
 
 @pytest.mark.parametrize("name,feats", [
-    ("resnet18", 512), ("resnet34", 512), ("resnet50", 2048),
-    ("resnet101", 2048), ("resnet152", 2048),
+    ("resnet18", 512), ("resnet26", 2048), ("resnet34", 512),
+    ("resnet50", 2048), ("resnet101", 2048), ("resnet152", 2048),
+    ("resnet200", 2048),
 ])
 def test_model_zoo_shapes(name, feats):
     assert backbone_num_features(name) == feats
@@ -48,3 +49,25 @@ def test_model_zoo_shapes(name, feats):
     assert out.shape == (1, 2)
     # head fc1 consumes the right feature width
     assert variables["params"]["head"]["fc1"]["kernel"].shape[0] == feats
+
+
+def test_resnet26_logit_parity(rng):
+    """timm resnet26 (vanilla bottleneck [2,2,2,2]) — added to cover the
+    reference's wider --model-name surface (submodel_trainer.py:51-52)."""
+    import torch
+
+    from synthetic_audio_detection_tpu.checkpoints import torch_compat
+    from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+
+    tm = torch_ref.TorchBinaryClassifier("resnet26")
+    tm.eval()
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = torch_compat.classifier_variables_from_torch(sd, base_prefix="base.")
+    model = BinaryClassifier(backbone="resnet26")
+    got = np.asarray(
+        model.apply(variables, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), train=False)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-4)

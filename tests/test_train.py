@@ -227,3 +227,77 @@ def test_reference_quirk_loss_semantics(tiny_train_setup):
         np.asarray(state.params["base"]["layer4_0"]["conv1"]["kernel"]),
         np.asarray(new_state.params["base"]["layer4_0"]["conv1"]["kernel"]),
     )
+
+
+def test_plateau_from_torch_state_dict():
+    """Resuming from a reference torch checkpoint's scheduler dict
+    (submodel_trainer.py:676) must continue the exact torch LR trajectory."""
+    import torch
+
+    base_lr = 0.1
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=2
+    )
+    for v in [1.0, 1.1, 1.2, 1.3, 1.25]:  # triggers one reduction
+        sch.step(v)
+    ours = PlateauState.from_torch_state_dict(sch.state_dict(), base_lr=base_lr)
+    assert ours.scale == pytest.approx(opt.param_groups[0]["lr"] / base_lr)
+    assert ours.scale < 1.0
+    for v in [1.2, 1.2, 1.2, 1.2, 0.5, 0.6, 0.6, 0.6, 0.6]:
+        sch.step(float(v))
+        scale = ours.update(float(v))
+        assert scale == pytest.approx(opt.param_groups[0]["lr"] / base_lr), v
+
+
+def test_resume_starts_at_saved_epoch_plus_one(tmp_path):
+    """submodel_trainer.py:677: start_epoch = checkpoint['epoch'] + 1 — the
+    saved (best) epoch already completed and must not be re-trained. Holds
+    for both the native and the torch-twin checkpoint."""
+    from synthetic_audio_detection_tpu.train.trainer import Trainer
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    cfg = TrainConfig(batch_size=2, lr=1e-3, checkpoint_dir=str(tmp_path))
+    spec = SpectrogramConfig(out_size=64)
+    t = Trainer(cfg, spec_cfg=spec, use_mesh=False, log_dir=str(tmp_path / "tb"))
+    t.best_acc = 0.75
+    t.plateau.update(1.0)
+    path = str(tmp_path / "best_model.ckpt")
+    t.save_checkpoint(3, path)
+
+    t2 = Trainer(cfg, spec_cfg=spec, use_mesh=False, log_dir=str(tmp_path / "tb2"))
+    t2.resume(path)
+    assert t2.start_epoch == 4
+    assert t2.best_acc == pytest.approx(0.75)
+    assert t2.plateau.best == pytest.approx(1.0)
+
+    t3 = Trainer(cfg, spec_cfg=spec, use_mesh=False, log_dir=str(tmp_path / "tb3"))
+    t3.resume(path + ".pth")
+    assert t3.start_epoch == 4
+    assert t3.best_acc == pytest.approx(0.75)
+
+
+def test_producer_exception_propagates_not_deadlocks():
+    """A failing batch builder must surface its exception to the consumer
+    instead of dying before the queue sentinel (which hangs the epoch)."""
+    import signal
+
+    from synthetic_audio_detection_tpu.data import dataset as ds
+
+    b = ds.WaveformBatcher(
+        [("nope.wav", 0)] * 4, batch_size=2, shuffle=False, workers=1
+    )
+
+    def boom(chunk, ex):
+        raise RuntimeError("boom in producer")
+
+    b._make_batch = boom
+    signal.alarm(60)  # hard backstop: a regression here deadlocks
+    try:
+        with pytest.raises(RuntimeError, match="boom in producer"):
+            list(b.epoch(0))
+    finally:
+        signal.alarm(0)
