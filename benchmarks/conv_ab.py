@@ -69,20 +69,136 @@ def gemm_conv(x, w, scale, bias):
     return jnp.maximum(y * scale + bias, 0.0)
 
 
+def make_s2d_conv(w):
+    """One-conv s2d folding: runs on s2d(x); weights folded host-side once.
+    4x nominal FLOPs at 4x the channel width (TF/s reported vs ORIGINAL
+    FLOPs, so >baseline means net win)."""
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv3x3_s2d,
+        fold_conv3x3_s2d,
+    )
+
+    wf = jnp.asarray(fold_conv3x3_s2d(np.asarray(w))).astype(jnp.bfloat16)
+
+    def fn(x_s2d, _w, scale, bias):
+        y = conv3x3_s2d(x_s2d.astype(jnp.bfloat16), wf,
+                        preferred_element_type=jnp.float32)
+        return jnp.maximum(y * scale + bias, 0.0)
+
+    return fn
+
+
+def make_s2d4_conv(w):
+    """4-phase s2d folding: 4 convs [2,2,4C,F], 16/9 nominal FLOPs."""
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv3x3_s2d_4phase,
+        fold_conv3x3_s2d_phase,
+    )
+
+    phases = [
+        (jnp.asarray(k).astype(jnp.bfloat16), pad)
+        for k, pad in (
+            fold_conv3x3_s2d_phase(np.asarray(w), qy, qx)
+            for qy in range(2) for qx in range(2)
+        )
+    ]
+
+    def fn(x_s2d, _w, scale, bias):
+        y = conv3x3_s2d_4phase(x_s2d.astype(jnp.bfloat16), phases,
+                               preferred_element_type=jnp.float32)
+        return jnp.maximum(y * scale + bias, 0.0)
+
+    return fn
+
+
+def int8_conv_pure(x, w, scale, bias):
+    """int8 MXU rate probe: operands pre-quantized OUTSIDE the measured op
+    (x arrives int8), int32 accumulate, affine+relu in f32."""
+    acc = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return jnp.maximum(acc.astype(jnp.float32) * scale + bias, 0.0)
+
+
+def int8_conv_dynq(x, w, scale, bias):
+    """Serving-realistic int8: dynamic per-tensor activation quant inside."""
+    s = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return jnp.maximum(acc.astype(jnp.float32) * (s * scale) + bias, 0.0)
+
+
+def timed_loop_int8(fn, x_int8, w_int8, scale, bias):
+    """Chained loop for integer carries: perturbation derived from the output
+    scalar through an int path the compiler cannot fold away."""
+    def run(n):
+        def body(_, carry):
+            acc, xx = carry
+            out = fn(xx, w_int8, scale, bias)
+            c = jnp.sum(out).astype(jnp.float32)
+            bump = (c.astype(jnp.int32) % jnp.int32(2)).astype(jnp.int8)
+            return acc + c, jnp.clip(xx + bump, -127, 127)
+
+        return jax.jit(lambda xx: jax.lax.fori_loop(
+            0, n, body, (jnp.float32(0.0), xx))[0])
+
+    r1, rn = run(1), run(ITERS)
+    float(r1(x_int8)); float(rn(x_int8))
+    t0 = time.perf_counter(); float(r1(x_int8)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(rn(x_int8)); tn = time.perf_counter() - t0
+    return max((tn - t1) / (ITERS - 1), 1e-9)
+
+
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", nargs="*",
+                   default=["lax", "gemm", "pallas"],
+                   choices=["lax", "gemm", "pallas", "s2d", "s2d4",
+                            "int8pure", "int8dynq"])
+    p.add_argument("--shapes", nargs="*",
+                   default=[s[0] for s in SHAPES],
+                   choices=[s[0] for s in SHAPES])
+    args = p.parse_args()
+
+    from synthetic_audio_detection_tpu.ops.space_to_depth import space_to_depth
+
     rng = np.random.default_rng(0)
     for name, B, H, W, C, F, stride in SHAPES:
+        if name not in args.shapes:
+            continue
         x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 0.3)
         w = jnp.asarray(rng.standard_normal((3, 3, C, F)).astype(np.float32) * 0.05)
         scale = jnp.ones((1, 1, 1, F), jnp.float32)
         bias = jnp.zeros((1, 1, 1, F), jnp.float32)
         gflop = 2 * 9 * C * F * (H // stride) * (W // stride) * B / 1e9
         row = {"shape": name, "gflop_per_iter": round(gflop, 1)}
-        variants = [("lax", lax_conv), ("gemm", gemm_conv),
-                    ("pallas", pallas_conv)]
-        for label, fn in variants:
+        for label in args.variants:
             try:
-                t = timed_loop(fn, x, w, scale, bias)
+                if label in ("s2d", "s2d4"):
+                    fn = make_s2d_conv(w) if label == "s2d" else make_s2d4_conv(w)
+                    xs = space_to_depth(x)
+                    s4 = jnp.ones((1, 1, 1, 4 * F), jnp.float32)
+                    b4 = jnp.zeros_like(s4)
+                    t = timed_loop(fn, xs, w, s4, b4)
+                elif label == "int8pure":
+                    xq = jnp.clip(jnp.round(x / 0.01), -127, 127).astype(jnp.int8)
+                    wq = jnp.clip(jnp.round(w / 0.001), -127, 127).astype(jnp.int8)
+                    t = timed_loop_int8(int8_conv_pure, xq, wq, scale, bias)
+                elif label == "int8dynq":
+                    wq = jnp.clip(jnp.round(w / 0.001), -127, 127).astype(jnp.int8)
+                    t = timed_loop(int8_conv_dynq, x, wq, scale, bias)
+                else:
+                    fn = {"lax": lax_conv, "gemm": gemm_conv,
+                          "pallas": pallas_conv}[label]
+                    t = timed_loop(fn, x, w, scale, bias)
                 row[f"{label}_ms"] = round(t * 1e3, 3)
                 row[f"{label}_tflops"] = round(gflop / t / 1e3, 1)
             except Exception as e:  # noqa: BLE001

@@ -1,0 +1,120 @@
+"""Space-to-depth reformulation of early ResNet convs (layer1 frontier).
+
+Why: at 512² inputs, resnet18 layer1 runs 3x3 convs on [B, 128, 128, 64] —
+C=64 underfills the TPU's 128-wide lanes and XLA tiles it at 25-31 TF/s
+(~8x under peak) while layer2/3 shapes run near peak (benchmarks/conv_ab.py,
+NOTES.md round 1). Layer1 holds ~half the model FLOPs, so it bounds the
+full-fidelity serving rate.
+
+The fix (the classic MLPerf-ResNet TPU trick, re-derived for stride-1 convs):
+rearrange [B, H, W, C] → [B, H/2, W/2, 4C] (space_to_depth) and fold the
+3x3 kernel into an EXACTLY equivalent kernel on the rearranged tensor. With
+r=2 the folded kernel is [3, 3, 4C, 4F] with 9 of 36 input-tap/phase
+combinations nonzero per output phase: 4x the nominal FLOPs, but at
+channel width 256 the MXU runs ~8x faster, netting ~2x on layer1
+(measured — see benchmarks/conv_ab.py --s2d).
+
+Derivation (r=2, padding 1): for output phase qy∈{0,1} and tap dy∈{0,1,2},
+the original row offset qy+dy-1 lands on s2d row ty = floor((qy+dy-1)/2)
+with phase py = (qy+dy-1) - 2*ty; ty ∈ {-1,0,1} maps to folded-kernel tap
+ty+1 under padding 1. Same for columns. Zero-padding commutes with the
+rearrangement because only phase-1 rows of the out-of-range s2d taps are
+ever referenced (val=-2 / val=+3 are unreachable), and those rows are the
+original zero padding.
+
+Reference shape inventory: submodel_trainer.py:606-633 (resnet backbone).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/r, W/r, r*r*C]; channel layout (py, px, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, rc = x.shape
+    c = rc // (r * r)
+    x = x.reshape(b, h, w, r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c)
+
+
+def fold_conv3x3_s2d(w: np.ndarray) -> np.ndarray:
+    """Fold a stride-1 3x3 kernel [3, 3, C, F] into the equivalent s2d-space
+    kernel [3, 3, 4C, 4F] (r=2). conv(s2d(x), folded, pad 1) == s2d(conv(x,
+    w, pad 1)) exactly."""
+    w = np.asarray(w)
+    kh, kw, c, f = w.shape
+    assert (kh, kw) == (3, 3), "fold_conv3x3_s2d is specific to 3x3 kernels"
+    out = np.zeros((3, 3, 4 * c, 4 * f), w.dtype)
+    for qy in range(2):
+        for dy in range(3):
+            vy = qy + dy - 1
+            ty, py = vy // 2, vy % 2
+            for qx in range(2):
+                for dx in range(3):
+                    vx = qx + dx - 1
+                    tx, px = vx // 2, vx % 2
+                    ci = (py * 2 + px) * c
+                    co = (qy * 2 + qx) * f
+                    out[ty + 1, tx + 1, ci:ci + c, co:co + f] = w[dy, dx]
+    return out
+
+
+def conv3x3_s2d(x_s2d: jnp.ndarray, w_folded: jnp.ndarray,
+                preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """Stride-1 'layer1-equivalent' conv in s2d space: [B, H/2, W/2, 4C] x
+    [3, 3, 4C, 4F] → [B, H/2, W/2, 4F]."""
+    return jax.lax.conv_general_dilated(
+        x_s2d, w_folded,
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def fold_conv3x3_s2d_phase(
+    w: np.ndarray, qy: int, qx: int
+) -> Tuple[np.ndarray, Tuple[Tuple[int, int], Tuple[int, int]]]:
+    """Per-output-phase folding: [3, 3, C, F] → ([2, 2, 4C, F], padding).
+    Four such convs (one per (qy, qx)) reproduce the full conv at 16/9 the
+    nominal FLOPs (vs 4x for the one-conv folding); outputs concatenate along
+    channels in (qy, qx) phase order to form the s2d result."""
+    w = np.asarray(w)
+    _, _, c, f = w.shape
+    out = np.zeros((2, 2, 4 * c, f), w.dtype)
+    for dy in range(3):
+        vy = qy + dy - 1
+        ty, py = vy // 2, vy % 2
+        for dx in range(3):
+            vx = qx + dx - 1
+            tx, px = vx // 2, vx % 2
+            ci = (py * 2 + px) * c
+            out[ty + (1 - qy), tx + (1 - qx), ci:ci + c, :] = w[dy, dx]
+    padding = ((1 - qy, qy), (1 - qx, qx))
+    return out, padding
+
+
+def conv3x3_s2d_4phase(x_s2d: jnp.ndarray, folded_phases,
+                       preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """Apply the four per-phase folded convs and interleave outputs into the
+    s2d channel layout. folded_phases: [(kernel, padding)] in (qy, qx) order."""
+    outs = []
+    for kern, pad in folded_phases:
+        outs.append(jax.lax.conv_general_dilated(
+            x_s2d, jnp.asarray(kern),
+            window_strides=(1, 1), padding=list(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=preferred_element_type,
+        ))
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,92 @@
+"""Multi-process distributed backend smoke test (SURVEY.md §2.4 multi-node):
+two OS processes, each a JAX "host" with its own CPU devices, joined through
+initialize_distributed (coordinator + Gloo), computing one cross-process
+collective. This is the real jax.distributed path the reference's
+DataParallel/num_gpus surface maps onto for multi-host TPU pods."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, %r)
+    from synthetic_audio_detection_tpu.parallel.sharding import (
+        create_mesh, initialize_distributed, shard_batch,
+    )
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    initialize_distributed("127.0.0.1:" + port, nproc, pid)
+    assert jax.process_count() == nproc
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = create_mesh()  # spans ALL processes' devices
+    local = np.full((jax.local_device_count(), 2), pid + 1.0, np.float32)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None)), local)
+    total = jax.jit(lambda a: jnp.sum(a),
+                    out_shardings=NamedSharding(mesh, P()))(x)
+    print("DIST_SUM", float(total), flush=True)
+""" % REPO)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_collective():
+    port = str(_free_port())
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)  # one device per process: a real 2-host shape
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", CHILD, str(pid), "2", port],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=180)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed smoke test timed out (coordinator hang?)")
+    for rc, out, err in outs:
+        assert rc == 0, f"child failed rc={rc}\n{out}\n{err[-2000:]}"
+        # sum over 2 procs x local_devices x 2 cols of (pid+1):
+        # proc0 contributes 1*n0*2, proc1 2*n1*2; with 1 device each = 6
+        assert "DIST_SUM 6.0" in out, out
+
+
+def test_initialize_distributed_plumbing(monkeypatch):
+    """Single-process → no-op; multi-process → args passed through."""
+    import jax
+
+    from synthetic_audio_detection_tpu.parallel import sharding as sh
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    sh.initialize_distributed(None, None, None)
+    sh.initialize_distributed("host:1", 1, 0)
+    assert calls == []
+    sh.initialize_distributed("host:1234", 4, 2)
+    assert calls == [{
+        "coordinator_address": "host:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }]
