@@ -22,6 +22,7 @@ ITERS = 11
 # (name, B, H, W, C, F, stride) — resnet18 at 512² input
 SHAPES = [
     ("layer1", 32, 128, 128, 64, 64, 1),
+    ("layer1s", 32, 64, 64, 64, 64, 1),  # layer1 at 256² fast-mode input
     ("layer2", 32, 64, 64, 128, 128, 1),
     ("layer3", 32, 32, 32, 256, 256, 1),
 ]
@@ -111,6 +112,74 @@ def make_s2d4_conv(w):
     return fn
 
 
+def make_s2dm_conv(w):
+    """Merged-phase folding: one [2,2,4C,4F] VALID conv + phase slicing,
+    ~1.83x nominal FLOPs at full channel width."""
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv3x3_s2d_merged,
+        fold_conv3x3_s2d_merged,
+    )
+
+    wm = jnp.asarray(fold_conv3x3_s2d_merged(np.asarray(w))).astype(jnp.bfloat16)
+
+    def fn(x_s2d, _w, scale, bias):
+        y = conv3x3_s2d_merged(x_s2d.astype(jnp.bfloat16), wm,
+                               preferred_element_type=jnp.float32)
+        return jnp.maximum(y * scale + bias, 0.0)
+
+    return fn
+
+
+def make_s2dh_conv(w):
+    """H-only s2d folding: [3,3,2C,2F] at 2x nominal FLOPs, C=128 lanes."""
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv3x3_s2d_h,
+        fold_conv3x3_s2d_h,
+    )
+
+    wf = jnp.asarray(fold_conv3x3_s2d_h(np.asarray(w))).astype(jnp.bfloat16)
+
+    def fn(x_s2dh, _w, scale, bias):
+        y = conv3x3_s2d_h(x_s2dh.astype(jnp.bfloat16), wf,
+                          preferred_element_type=jnp.float32)
+        return jnp.maximum(y * scale + bias, 0.0)
+
+    return fn
+
+
+def _tiled_conv(x, w, scale, bias, splits_h, splits_w):
+    """Spatial tiling with 1-px halos: [B,H,W,C] → [sh*sw*B, H/sh+2, W/sw+2, C]
+    VALID conv → reassemble. Probes whether XLA's conv emitter handles the
+    large-spatial/narrow-channel layer1 shape better as more batch x less
+    spatial (layer1s at 64² measured 72.5 TF/s vs 29.7 at 128²)."""
+    b, h, w_, c = x.shape
+    th, tw = h // splits_h, w_ // splits_w
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    tiles = [
+        xp[:, ty * th:ty * th + th + 2, tx * tw:tx * tw + tw + 2, :]
+        for ty in range(splits_h) for tx in range(splits_w)
+    ]
+    xt = jnp.concatenate(tiles, axis=0).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        xt, w.astype(jnp.bfloat16),
+        window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # [sh*sw*B, th, tw, F]
+    f = y.shape[-1]
+    y = y.reshape(splits_h, splits_w, b, th, tw, f)
+    y = y.transpose(2, 0, 3, 1, 4, 5).reshape(b, h, w_, f)
+    return jnp.maximum(y * scale + bias, 0.0)
+
+
+def tile4_conv(x, w, scale, bias):
+    return _tiled_conv(x, w, scale, bias, 2, 2)
+
+
+def tile2h_conv(x, w, scale, bias):
+    return _tiled_conv(x, w, scale, bias, 2, 1)
+
+
 def int8_conv_pure(x, w, scale, bias):
     """int8 MXU rate probe: operands pre-quantized OUTSIDE the measured op
     (x arrives int8), int32 accumulate, affine+relu in f32."""
@@ -161,8 +230,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variants", nargs="*",
                    default=["lax", "gemm", "pallas"],
-                   choices=["lax", "gemm", "pallas", "s2d", "s2d4",
-                            "int8pure", "int8dynq"])
+                   choices=["lax", "gemm", "pallas", "s2d", "s2d4", "s2dm",
+                            "s2dh", "tile4", "tile2h", "int8pure", "int8dynq"])
     p.add_argument("--shapes", nargs="*",
                    default=[s[0] for s in SHAPES],
                    choices=[s[0] for s in SHAPES])
@@ -182,10 +251,19 @@ def main():
         row = {"shape": name, "gflop_per_iter": round(gflop, 1)}
         for label in args.variants:
             try:
-                if label in ("s2d", "s2d4"):
-                    fn = make_s2d_conv(w) if label == "s2d" else make_s2d4_conv(w)
-                    xs = space_to_depth(x)
-                    s4 = jnp.ones((1, 1, 1, 4 * F), jnp.float32)
+                if label in ("s2d", "s2d4", "s2dm", "s2dh"):
+                    fn = {"s2d": make_s2d_conv, "s2d4": make_s2d4_conv,
+                          "s2dm": make_s2dm_conv, "s2dh": make_s2dh_conv}[label](w)
+                    if label == "s2dh":
+                        from synthetic_audio_detection_tpu.ops.space_to_depth import (
+                            space_to_depth_h,
+                        )
+
+                        xs = space_to_depth_h(x)
+                        s4 = jnp.ones((1, 1, 1, 2 * F), jnp.float32)
+                    else:
+                        xs = space_to_depth(x)
+                        s4 = jnp.ones((1, 1, 1, 4 * F), jnp.float32)
                     b4 = jnp.zeros_like(s4)
                     t = timed_loop(fn, xs, w, s4, b4)
                 elif label == "int8pure":
@@ -197,7 +275,8 @@ def main():
                     t = timed_loop(int8_conv_dynq, x, wq, scale, bias)
                 else:
                     fn = {"lax": lax_conv, "gemm": gemm_conv,
-                          "pallas": pallas_conv}[label]
+                          "pallas": pallas_conv, "tile4": tile4_conv,
+                          "tile2h": tile2h_conv}[label]
                     t = timed_loop(fn, x, w, scale, bias)
                 row[f"{label}_ms"] = round(t * 1e3, 3)
                 row[f"{label}_tflops"] = round(gflop / t / 1e3, 1)

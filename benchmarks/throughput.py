@@ -51,6 +51,7 @@ def bench_config(
     mono: bool = False,
     int8: bool = False,
     melonly: bool = False,
+    s2d: bool = False,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -112,6 +113,7 @@ def bench_config(
             use_gemm_dft=True,
             compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
             use_pallas=use_pallas,
+            use_s2d_layer1=s2d,
         )
         variables_in = None
     rng = np.random.default_rng(0)
@@ -165,6 +167,12 @@ PRESETS = {
     # int8 + fast mode
     "int8-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                       use_pallas=True, shared_backbone=True, int8=True),
+    # space-to-depth layer1 (merged-phase folding) at reference fidelity
+    "s2d": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                use_pallas=True, shared_backbone=True, s2d=True),
+    # s2d + 256² fast mode
+    "s2d-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
+                     use_pallas=True, shared_backbone=True, s2d=True),
     # per-clip latency config: small batch, fidelity input
     "latency": dict(batch=8, heads=6, input_size=512, dtype="bf16",
                     use_pallas=True, shared_backbone=True),

@@ -117,6 +117,7 @@ def _forward_windows(
     use_gemm_dft: bool,
     compute_dtype: Any,
     use_pallas: bool = False,
+    use_s2d_layer1: bool = False,
 ) -> jnp.ndarray:
     """[B, T] waveform windows → [B, N+1] ensemble logits. Fully jitted:
     mel front end + channel fold + vmapped multi-head forward in one program.
@@ -146,6 +147,16 @@ def _forward_windows(
     else:
         x = melspec.replicate_channels(feats, spec_cfg.out_channels)
     ens = dataclasses.replace(ensemble, variables=variables)
+    if use_s2d_layer1 and ens.shared_backbone:
+        # layer1 at 512²/256² runs 8x under MXU peak through plain lax.conv
+        # (C=64 underfills the 128 lanes); the exactly-folded space-to-depth
+        # stage (ops/space_to_depth.py) trades 4x nominal FLOPs for full
+        # channel width — measured net win (benchmarks/conv_ab.py --variants s2d)
+        from synthetic_audio_detection_tpu.models.fast_resnet import (
+            fast_ensemble_forward,
+        )
+
+        return fast_ensemble_forward(ens, x, s2d_layer1=True)
     return ensemble_forward(ens, x)
 
 
@@ -169,6 +180,7 @@ class InferencePipeline:
         use_pallas: Optional[bool] = None,
         mesh: Optional[Any] = None,
         transport_dtype: str = "float32",
+        use_s2d_layer1: Optional[bool] = None,
     ):
         self.ensemble = ensemble
         self.audio = audio or AudioConfig()
@@ -205,6 +217,19 @@ class InferencePipeline:
             )
             ensemble = self.ensemble
 
+        if use_s2d_layer1 is None:
+            # auto: TPU, reduced dtype, shared backbone, basic-block stage 1 —
+            # the measured-positive regime for the s2d layer1 folding
+            from synthetic_audio_detection_tpu.models.resnet import RESNET_SPECS
+
+            use_s2d_layer1 = (
+                jax.default_backend() in ("tpu", "axon")
+                and jnp.dtype(self.compute_dtype) != jnp.float32
+                and self.ensemble.shared_backbone
+                and RESNET_SPECS[self.ensemble.model.backbone][0] == "basic"
+            )
+        self.use_s2d_layer1 = use_s2d_layer1
+
         fwd = functools.partial(
             _forward_windows,
             ensemble=self.ensemble,
@@ -213,6 +238,7 @@ class InferencePipeline:
             use_gemm_dft=self.use_gemm_dft,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            use_s2d_layer1=self.use_s2d_layer1,
         )
         self._jit_fwd = jax.jit(fwd, donate_argnums=(1,) if donate_windows else ())
 
@@ -242,7 +268,7 @@ class InferencePipeline:
         if num == 0:
             return np.zeros((0, self.ensemble.num_heads + 1), np.float32)
         bucket = self._bucket(num)
-        if self.transport_dtype == "int16":
+        if self.transport_dtype == "int16" and windows.dtype != np.int16:
             windows = np.clip(
                 np.round(windows.astype(np.float64) * 32768.0), -32768, 32767
             ).astype(np.int16)

@@ -53,6 +53,33 @@ def _conv_bn(x, p, bn_p, bn_s, stride, relu, gemm_max_channels, dtype):
     return jax.nn.relu(y) if relu else y
 
 
+def _s2d_conv_bn(x_s2d, p, bn_p, bn_s, relu, dtype, mode="merged"):
+    """Stride-1 3x3 conv + BN affine + optional ReLU, entirely in s2d space:
+    the [3,3,C,F] kernel folds (traceably) into s2d form and the per-channel
+    affine tiles across the 4 phases. Exact vs the direct conv.
+    mode='merged': one [2,2,4C,4F] VALID conv + phase slicing (1.83x FLOPs);
+    mode='3x3': the [3,3,4C,4F] folding (4x FLOPs, no slicing)."""
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv3x3_s2d,
+        conv3x3_s2d_merged,
+        fold_conv3x3_s2d_merged_traced,
+        fold_conv3x3_s2d_traced,
+    )
+
+    if mode == "merged":
+        wf = fold_conv3x3_s2d_merged_traced(p["kernel"].astype(dtype))
+        y = conv3x3_s2d_merged(x_s2d.astype(dtype), wf,
+                               preferred_element_type=jnp.float32)
+    else:
+        wf = fold_conv3x3_s2d_traced(p["kernel"].astype(dtype))
+        y = conv3x3_s2d(x_s2d.astype(dtype), wf,
+                        preferred_element_type=jnp.float32)
+    alpha, beta = _bn_affine(bn_p, bn_s)
+    alpha4, beta4 = jnp.tile(alpha, 4), jnp.tile(beta, 4)
+    y = y * alpha4[None, None, None, :] + beta4[None, None, None, :]
+    return jax.nn.relu(y) if relu else y
+
+
 def fast_backbone_apply(
     base_params: Dict[str, Any],
     base_stats: Dict[str, Any],
@@ -60,8 +87,16 @@ def fast_backbone_apply(
     backbone: str = "resnet18",
     gemm_max_channels: int = 0,
     dtype=jnp.bfloat16,
+    s2d_layer1: bool = False,
 ) -> jnp.ndarray:
-    """[B, H, W, C] → un-pooled feature map (eval mode)."""
+    """[B, H, W, C] → un-pooled feature map (eval mode).
+
+    s2d_layer1=True runs the stride-1 basic-block stage 1 (the 25-31 TF/s
+    layer1 frontier, NOTES.md) in space-to-depth form: [B,128,128,64] →
+    [B,64,64,256] with exactly-folded kernels — 4x nominal FLOPs at MXU-
+    friendly channel width. Residual adds/ReLU/BN commute with the
+    rearrangement, so the whole stage stays in s2d space with one
+    depth_to_space at the end. Basic-block backbones only."""
     block, stages = RESNET_SPECS[backbone]
     y = _conv_bn(x, base_params["conv1"], base_params["bn1"],
                  base_stats["bn1"], 2, True, gemm_max_channels, dtype)
@@ -71,8 +106,28 @@ def fast_backbone_apply(
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+    use_s2d = (
+        s2d_layer1 and block == "basic"
+        and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0
+    )
+    if use_s2d:
+        from synthetic_audio_detection_tpu.ops.space_to_depth import (
+            depth_to_space,
+            space_to_depth,
+        )
+
+        ys = space_to_depth(y)
+        for b in range(stages[0]):
+            p, st = base_params[f"layer1_{b}"], base_stats[f"layer1_{b}"]
+            identity = ys
+            out = _s2d_conv_bn(ys, p["conv1"], p["bn1"], st["bn1"], True, dtype)
+            out = _s2d_conv_bn(out, p["conv2"], p["bn2"], st["bn2"], False, dtype)
+            ys = jax.nn.relu(out + identity)
+        y = depth_to_space(ys)
     n_convs = 2 if block == "basic" else 3
     for stage_idx, n_blocks in enumerate(stages):
+        if stage_idx == 0 and use_s2d:
+            continue
         stride = 1 if stage_idx == 0 else 2
         for b in range(n_blocks):
             s = stride if b == 0 else 1
@@ -100,10 +155,11 @@ def fast_backbone_apply(
     return y
 
 
-def fast_ensemble_forward(ens, x: jnp.ndarray) -> jnp.ndarray:
+def fast_ensemble_forward(ens, x: jnp.ndarray,
+                          s2d_layer1: bool = False) -> jnp.ndarray:
     """Shared-backbone ensemble forward through the fast backbone.
     x: [B, H, W, C] → [B, N+1] logits (matches ensemble_forward numerics in
-    bf16)."""
+    bf16). s2d_layer1 routes stage 1 through the space-to-depth folding."""
     from synthetic_audio_detection_tpu.ensemble.multihead import _aggregate
     from synthetic_audio_detection_tpu.models.head import BinaryHead
 
@@ -118,6 +174,7 @@ def fast_ensemble_forward(ens, x: jnp.ndarray) -> jnp.ndarray:
     feats = fast_backbone_apply(
         base_params, base_stats, x, ens.model.backbone, dtype=ens.model.dtype
         if ens.model.dtype != jnp.float32 else jnp.bfloat16,
+        s2d_layer1=s2d_layer1,
     )
     head = BinaryHead(dtype=ens.model.dtype)
     head_vars = {

@@ -71,6 +71,37 @@ def fold_conv3x3_s2d(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def _fold_map() -> np.ndarray:
+    """Constant one-hot tensor M[ty, tx, p, q, dy, dx] encoding the folding:
+    original tap (dy, dx) of output phase q lands on s2d tap (ty, tx) of
+    input phase p. Built once in numpy; contracting W against it reproduces
+    fold_conv3x3_s2d as a traceable einsum (so folding can live INSIDE a
+    jitted program whose weights are traced arguments)."""
+    m = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+    for qy in range(2):
+        for dy in range(3):
+            vy = qy + dy - 1
+            ty, py = vy // 2, vy % 2
+            for qx in range(2):
+                for dx in range(3):
+                    vx = qx + dx - 1
+                    tx, px = vx // 2, vx % 2
+                    m[ty + 1, tx + 1, py * 2 + px, qy * 2 + qx, dy, dx] = 1.0
+    return m
+
+
+_FOLD_MAP = _fold_map()
+
+
+def fold_conv3x3_s2d_traced(w: jnp.ndarray) -> jnp.ndarray:
+    """Traceable twin of :func:`fold_conv3x3_s2d`: [3, 3, C, F] (traced) →
+    [3, 3, 4C, 4F]. The contraction against the constant one-hot map costs
+    ~9x the weight size — noise next to one conv at serving shapes."""
+    c, f = w.shape[2], w.shape[3]
+    wf = jnp.einsum("tspqyx,yxcf->tspcqf", jnp.asarray(_FOLD_MAP, w.dtype), w)
+    return wf.reshape(3, 3, 4 * c, 4 * f)
+
+
 def conv3x3_s2d(x_s2d: jnp.ndarray, w_folded: jnp.ndarray,
                 preferred_element_type=jnp.float32) -> jnp.ndarray:
     """Stride-1 'layer1-equivalent' conv in s2d space: [B, H/2, W/2, 4C] x
@@ -103,6 +134,126 @@ def fold_conv3x3_s2d_phase(
             out[ty + (1 - qy), tx + (1 - qx), ci:ci + c, :] = w[dy, dx]
     padding = ((1 - qy, qy), (1 - qx, qx))
     return out, padding
+
+
+def fold_conv3x3_s2d_merged(w: np.ndarray) -> np.ndarray:
+    """Merged-phase folding: [3, 3, C, F] → ONE [2, 2, 4C, 4F] kernel whose
+    output-channel block q is the phase-q kernel of
+    :func:`fold_conv3x3_s2d_phase`. Used with :func:`conv3x3_s2d_merged`:
+    full 4C→4F MXU width at only ~1.83x nominal FLOPs (vs 4x for the
+    3x3 one-conv folding) — the per-phase padding differences move into
+    output slicing instead of the kernel."""
+    w = np.asarray(w)
+    _, _, c, f = w.shape
+    blocks = []
+    for qy in range(2):
+        for qx in range(2):
+            k, _ = fold_conv3x3_s2d_phase(w, qy, qx)
+            blocks.append(k)
+    return np.concatenate(blocks, axis=3)  # [2,2,4C,4F]
+
+
+def conv3x3_s2d_merged(x_s2d: jnp.ndarray, w_merged: jnp.ndarray,
+                       preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """Pad-once + VALID [2,2] conv + per-phase output slicing. Exactly equals
+    conv3x3_s2d on the same s2d input. x_s2d: [B, H', W', 4C] → [B, H', W', 4F].
+
+    Phase (qy, qx)'s valid outputs sit at offset (qy, qx) in the padded
+    conv result; the four [B, H', W', F] slices concatenate back into the
+    s2d channel layout."""
+    b, h, w_, c4 = x_s2d.shape
+    xp = jnp.pad(x_s2d, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, w_merged,
+        window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type,
+    )  # [B, H'+1, W'+1, 4F]
+    f = w_merged.shape[3] // 4
+    outs = []
+    for qy in range(2):
+        for qx in range(2):
+            q = qy * 2 + qx
+            outs.append(y[:, qy:qy + h, qx:qx + w_, q * f:(q + 1) * f])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def space_to_depth_h(x: jnp.ndarray) -> jnp.ndarray:
+    """H-only s2d (r=2): [B, H, W, C] → [B, H/2, W, 2C]; channel (py, c)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, h // 2, w, 2 * c)
+
+
+def depth_to_space_h(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c2 = x.shape
+    c = c2 // 2
+    return x.reshape(b, h, w, 2, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, h * 2, w, c)
+
+
+def _fold_map_h() -> np.ndarray:
+    """One-hot map for H-only folding: M[ty, p, q, dy]."""
+    m = np.zeros((3, 2, 2, 3), np.float32)
+    for qy in range(2):
+        for dy in range(3):
+            vy = qy + dy - 1
+            ty, py = vy // 2, vy % 2
+            m[ty + 1, py, qy, dy] = 1.0
+    return m
+
+
+_FOLD_MAP_H = _fold_map_h()
+
+
+def fold_conv3x3_s2d_h(w) -> jnp.ndarray:
+    """[3, 3, C, F] → [3, 3, 2C, 2F]: H-only folding (2x nominal FLOPs at 2x
+    channel width; W taps pass through). Traceable."""
+    w = jnp.asarray(w)
+    c, f = w.shape[2], w.shape[3]
+    # W'[ty, dx, (p,c), (q,f)] = M[ty,p,q,dy] W[dy,dx,c,f]
+    wf = jnp.einsum("tpqy,yxcf->txpcqf", jnp.asarray(_FOLD_MAP_H, w.dtype), w)
+    return wf.reshape(3, 3, 2 * c, 2 * f)
+
+
+def conv3x3_s2d_h(x_s2dh: jnp.ndarray, w_folded: jnp.ndarray,
+                  preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """[B, H/2, W, 2C] x [3, 3, 2C, 2F] → [B, H/2, W, 2F] (padding 1)."""
+    return jax.lax.conv_general_dilated(
+        x_s2dh, w_folded,
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def _fold_map_merged() -> np.ndarray:
+    """One-hot map for the merged-phase folding (tap index ty + (1-qy))."""
+    m = np.zeros((2, 2, 4, 4, 3, 3), np.float32)
+    for qy in range(2):
+        for dy in range(3):
+            vy = qy + dy - 1
+            ty, py = vy // 2, vy % 2
+            for qx in range(2):
+                for dx in range(3):
+                    vx = qx + dx - 1
+                    tx, px = vx // 2, vx % 2
+                    m[ty + (1 - qy), tx + (1 - qx),
+                      py * 2 + px, qy * 2 + qx, dy, dx] = 1.0
+    return m
+
+
+_FOLD_MAP_MERGED = _fold_map_merged()
+
+
+def fold_conv3x3_s2d_merged_traced(w: jnp.ndarray) -> jnp.ndarray:
+    """Traceable twin of :func:`fold_conv3x3_s2d_merged`:
+    [3, 3, C, F] (traced) → [2, 2, 4C, 4F]."""
+    c, f = w.shape[2], w.shape[3]
+    wf = jnp.einsum(
+        "tspqyx,yxcf->tspcqf", jnp.asarray(_FOLD_MAP_MERGED, w.dtype), w
+    )
+    return wf.reshape(2, 2, 4 * c, 4 * f)
 
 
 def conv3x3_s2d_4phase(x_s2d: jnp.ndarray, folded_phases,

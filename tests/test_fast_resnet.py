@@ -60,3 +60,35 @@ def test_fast_ensemble_matches_reference_rule(rng):
     assert got.shape == ref.shape
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.99
     np.testing.assert_array_equal(ref.argmax(1), got.argmax(1))
+
+
+def test_s2d_layer1_matches_plain_fast_path(rng):
+    """The space-to-depth layer1 reformulation must be numerically equivalent
+    to the plain fast path (f32: exact up to accumulation order)."""
+    ens = _shared()
+    base_params = jax.tree_util.tree_map(
+        lambda a: a[0], ens.variables["params"]["base"])
+    base_stats = jax.tree_util.tree_map(
+        lambda a: a[0], ens.variables["batch_stats"]["base"])
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.4)
+
+    plain = np.asarray(fast_backbone_apply(
+        base_params, base_stats, x, dtype=jnp.float32))
+    s2d = np.asarray(fast_backbone_apply(
+        base_params, base_stats, x, dtype=jnp.float32, s2d_layer1=True))
+    np.testing.assert_allclose(s2d, plain, rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_layer1_traced_fold_matches_host_fold(rng):
+    """fold_conv3x3_s2d_traced (einsum over the one-hot map, jit-safe) must
+    equal the host numpy folding bit for bit."""
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        fold_conv3x3_s2d,
+        fold_conv3x3_s2d_traced,
+    )
+
+    w = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fold_conv3x3_s2d_traced(jnp.asarray(w))),
+        fold_conv3x3_s2d(w),
+    )

@@ -62,3 +62,49 @@ def test_folded_conv_layer1_shape(rng):
         conv3x3_s2d(space_to_depth(x), jnp.asarray(fold_conv3x3_s2d(w)))
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_merged_phase_folding_matches_direct(rng):
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv3x3_s2d_merged,
+        fold_conv3x3_s2d_merged,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 6)).astype(np.float32))
+    w = rng.standard_normal((3, 3, 6, 7)).astype(np.float32)
+    ref = np.asarray(_direct(x, jnp.asarray(w)))
+    got = np.asarray(depth_to_space(
+        conv3x3_s2d_merged(space_to_depth(x),
+                           jnp.asarray(fold_conv3x3_s2d_merged(w)))
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_merged_traced_fold_matches_host_fold(rng):
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        fold_conv3x3_s2d_merged,
+        fold_conv3x3_s2d_merged_traced,
+    )
+
+    w = rng.standard_normal((3, 3, 8, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fold_conv3x3_s2d_merged_traced(jnp.asarray(w))),
+        fold_conv3x3_s2d_merged(w),
+    )
+
+
+def test_h_only_folding_matches_direct(rng):
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv3x3_s2d_h,
+        depth_to_space_h,
+        fold_conv3x3_s2d_h,
+        space_to_depth_h,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 6)).astype(np.float32))
+    w = rng.standard_normal((3, 3, 6, 7)).astype(np.float32)
+    ref = np.asarray(_direct(x, jnp.asarray(w)))
+    got = np.asarray(depth_to_space_h(
+        conv3x3_s2d_h(space_to_depth_h(x), fold_conv3x3_s2d_h(w))
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
