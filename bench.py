@@ -91,6 +91,7 @@ def main() -> None:
         use_gemm_dft=True,
         compute_dtype=jnp.bfloat16,
         use_pallas=on_tpu,  # fused mel kernel on TPU
+        use_fast_backbone=on_tpu,  # folded-affine backbone: +3.3% measured
     )
 
     rng = np.random.default_rng(0)

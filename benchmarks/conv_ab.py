@@ -22,6 +22,7 @@ ITERS = 11
 # (name, B, H, W, C, F, stride) — resnet18 at 512² input
 SHAPES = [
     ("layer1", 32, 128, 128, 64, 64, 1),
+    ("layer1b128", 128, 128, 128, 64, 64, 1),  # serving batch
     ("layer1s", 32, 64, 64, 64, 64, 1),  # layer1 at 256² fast-mode input
     ("layer2", 32, 64, 64, 128, 128, 1),
     ("layer3", 32, 32, 32, 256, 256, 1),

@@ -52,6 +52,7 @@ def bench_config(
     int8: bool = False,
     melonly: bool = False,
     s2d: bool = False,
+    fastpath_plain: bool = False,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -104,6 +105,31 @@ def bench_config(
             return quantized_ensemble_forward(q, x)
 
         variables_in = (qens.qbackbone, qens.head_variables)
+    elif fastpath_plain:
+        # isolate the functional fast-path interpreter WITHOUT s2d: any gap
+        # vs 'default' is interpreter overhead (fusion/dtype), not s2d itself
+        import dataclasses as dc
+
+        from synthetic_audio_detection_tpu.models.fast_resnet import (
+            fast_ensemble_forward,
+        )
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+        from synthetic_audio_detection_tpu.ops import melspec as M
+
+        def fwd(variables, windows):
+            if use_pallas:
+                z = fused_log_mel(windows, spec, 32_000)
+            else:
+                z = M.standardize(M.amplitude_to_db(
+                    M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
+            feats = jax.image.resize(
+                z, (z.shape[0], input_size, input_size), method="linear")
+            x = jnp.broadcast_to(
+                feats[..., None].astype(jnp.bfloat16), (*feats.shape, 3))
+            e = dc.replace(ens, variables=variables)
+            return fast_ensemble_forward(e, x, s2d_layer1=False)
+
+        variables_in = ens.variables
     else:
         fwd = functools.partial(
             _forward_windows,
@@ -167,9 +193,13 @@ PRESETS = {
     # int8 + fast mode
     "int8-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                       use_pallas=True, shared_backbone=True, int8=True),
-    # space-to-depth layer1 (merged-phase folding) at reference fidelity
+    # space-to-depth layer1 (H-only folding) at reference fidelity
     "s2d": dict(batch=128, heads=6, input_size=512, dtype="bf16",
                 use_pallas=True, shared_backbone=True, s2d=True),
+    # fast-path interpreter WITHOUT s2d (isolates interpreter overhead)
+    "fastpath": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                     use_pallas=True, shared_backbone=True,
+                     fastpath_plain=True),
     # s2d + 256² fast mode
     "s2d-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                      use_pallas=True, shared_backbone=True, s2d=True),

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-size", default=512, type=int,
                    help="Spectrogram image size (512 = reference fidelity; "
                    "smaller sizes trade accuracy for speed)")
+    p.add_argument("--s2d-layer1", action="store_true",
+                   help="Run stage 1 in exact H-only space-to-depth form "
+                   "(faster layer1 at 512 inputs on TPU; identical params, "
+                   "grads, and stats — models/resnet.py:S2DBasicBlock)")
     p.add_argument("--data-backend", default="threads",
                    choices=("threads", "grain"),
                    help="Input pipeline: thread pool (default) or grain "
@@ -91,6 +95,7 @@ def main(argv=None) -> int:
         class0=args.Class0,
         class1=args.Class1,
         data_backend=args.data_backend,
+        s2d_stage1=args.s2d_layer1,
     )
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 

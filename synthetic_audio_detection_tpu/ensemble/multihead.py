@@ -176,7 +176,10 @@ def ensemble_forward(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndarray:
                 lambda a: a[0], ens.variables["batch_stats"]["base"]
             ),
         }
-        resnet = create_resnet(ens.model.backbone, ens.model.in_channels, ens.model.dtype)
+        resnet = create_resnet(
+            ens.model.backbone, ens.model.in_channels, ens.model.dtype,
+            s2d_stage1=getattr(ens.model, "s2d_stage1", False),
+        )
         feats = resnet.apply(base_vars, x, train=False)
         head = BinaryHead(dtype=ens.model.dtype)
         head_vars = {

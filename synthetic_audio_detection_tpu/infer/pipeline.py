@@ -118,6 +118,7 @@ def _forward_windows(
     compute_dtype: Any,
     use_pallas: bool = False,
     use_s2d_layer1: bool = False,
+    use_fast_backbone: bool = False,
 ) -> jnp.ndarray:
     """[B, T] waveform windows → [B, N+1] ensemble logits. Fully jitted:
     mel front end + channel fold + vmapped multi-head forward in one program.
@@ -147,16 +148,24 @@ def _forward_windows(
     else:
         x = melspec.replicate_channels(feats, spec_cfg.out_channels)
     ens = dataclasses.replace(ensemble, variables=variables)
-    if use_s2d_layer1 and ens.shared_backbone:
-        # layer1 at 512²/256² runs 8x under MXU peak through plain lax.conv
-        # (C=64 underfills the 128 lanes); the exactly-folded space-to-depth
-        # stage (ops/space_to_depth.py) trades 4x nominal FLOPs for full
-        # channel width — measured net win (benchmarks/conv_ab.py --variants s2d)
+    if use_s2d_layer1:
+        # layer1 at 512² runs 8x under MXU peak through plain lax.conv; the
+        # exactly-folded H-only space-to-depth stage (models/resnet.py:
+        # S2DBasicBlock — identical param tree, measured 53 vs 30 TF/s at the
+        # conv level) engages via the model flag. Same Flax forward path as
+        # the baseline, so the comparison (and fusion behavior) stays apples
+        # to apples; the flag is a no-op for bottleneck backbones or small
+        # inputs (gate in models/resnet.py).
+        ens = dataclasses.replace(ens, model=ens.model.clone(s2d_stage1=True))
+    elif use_fast_backbone and ens.shared_backbone:
+        # eval-mode functional backbone with folded BN affines: measured
+        # 6,020 vs 5,825 seg/s at 512²/batch 128 on v5e (throughput.py
+        # 'fastpath'); numerics match the Flax path at bf16 tolerance
         from synthetic_audio_detection_tpu.models.fast_resnet import (
             fast_ensemble_forward,
         )
 
-        return fast_ensemble_forward(ens, x, s2d_layer1=True)
+        return fast_ensemble_forward(ens, x)
     return ensemble_forward(ens, x)
 
 
@@ -181,6 +190,7 @@ class InferencePipeline:
         mesh: Optional[Any] = None,
         transport_dtype: str = "float32",
         use_s2d_layer1: Optional[bool] = None,
+        use_fast_backbone: Optional[bool] = None,
     ):
         self.ensemble = ensemble
         self.audio = audio or AudioConfig()
@@ -218,17 +228,32 @@ class InferencePipeline:
             ensemble = self.ensemble
 
         if use_s2d_layer1 is None:
-            # auto: TPU, reduced dtype, shared backbone, basic-block stage 1 —
-            # the measured-positive regime for the s2d layer1 folding
+            # auto: the H-only s2d layer1 folding wins only in the SMALL-batch
+            # 512² regime (measured: 53.1 vs 29.7 TF/s at B=32, but 49.7 vs
+            # 52.4 at B=128 — XLA's conv emitter tiles layer1 well once the
+            # batch is large). Enable for latency-style pipelines (bucket
+            # <= 32) on TPU with reduced dtype and a basic-block backbone;
+            # the model-level gate additionally requires stage-1 spatial
+            # >= 128 (so 256² fast mode is a no-op either way).
             from synthetic_audio_detection_tpu.models.resnet import RESNET_SPECS
 
             use_s2d_layer1 = (
                 jax.default_backend() in ("tpu", "axon")
                 and jnp.dtype(self.compute_dtype) != jnp.float32
-                and self.ensemble.shared_backbone
                 and RESNET_SPECS[self.ensemble.model.backbone][0] == "basic"
+                and self.infer.batch_size <= 32
             )
         self.use_s2d_layer1 = use_s2d_layer1
+        if use_fast_backbone is None:
+            # auto: throughput serving (shared backbone, reduced dtype, TPU)
+            # through the folded-affine functional backbone — measured +3.3%
+            use_fast_backbone = (
+                jax.default_backend() in ("tpu", "axon")
+                and jnp.dtype(self.compute_dtype) != jnp.float32
+                and self.ensemble.shared_backbone
+                and not self.use_s2d_layer1
+            )
+        self.use_fast_backbone = use_fast_backbone
 
         fwd = functools.partial(
             _forward_windows,
@@ -239,6 +264,7 @@ class InferencePipeline:
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             use_s2d_layer1=self.use_s2d_layer1,
+            use_fast_backbone=self.use_fast_backbone,
         )
         self._jit_fwd = jax.jit(fwd, donate_argnums=(1,) if donate_windows else ())
 

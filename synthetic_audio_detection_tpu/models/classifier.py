@@ -29,10 +29,14 @@ class BinaryClassifier(nn.Module):
     in_channels: int = 3
     num_outputs: int = 2
     dtype: Any = jnp.float32
+    # exact H-only space-to-depth stage 1 (models/resnet.py:S2DBasicBlock);
+    # param tree unchanged, so checkpoints are interchangeable either way
+    s2d_stage1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        base = create_resnet(self.backbone, self.in_channels, self.dtype, module_name="base")
+        base = create_resnet(self.backbone, self.in_channels, self.dtype,
+                             module_name="base", s2d_stage1=self.s2d_stage1)
         feats = base(x, train=train)
         return BinaryHead(
             num_outputs=self.num_outputs, dtype=self.dtype, name="head"

@@ -50,34 +50,53 @@ def _conv_bn(x, p, bn_p, bn_s, stride, relu, gemm_max_channels, dtype):
     y = _conv(x, p["kernel"], stride, gemm_max_channels, dtype)
     alpha, beta = _bn_affine(bn_p, bn_s)
     y = y * alpha[None, None, None, :] + beta[None, None, None, :]
-    return jax.nn.relu(y) if relu else y
+    y = jax.nn.relu(y) if relu else y
+    # cast down in the conv epilogue: activations in HBM stay in the compute
+    # dtype (f32 residents double the layer1 bandwidth bill otherwise)
+    return y.astype(dtype)
 
 
-def _s2d_conv_bn(x_s2d, p, bn_p, bn_s, relu, dtype, mode="merged"):
+def _s2d_conv_bn(x_s2d, p, bn_p, bn_s, relu, dtype, mode="h"):
     """Stride-1 3x3 conv + BN affine + optional ReLU, entirely in s2d space:
     the [3,3,C,F] kernel folds (traceably) into s2d form and the per-channel
-    affine tiles across the 4 phases. Exact vs the direct conv.
-    mode='merged': one [2,2,4C,4F] VALID conv + phase slicing (1.83x FLOPs);
-    mode='3x3': the [3,3,4C,4F] folding (4x FLOPs, no slicing)."""
+    affine tiles across the phases. Exact vs the direct conv.
+
+    Measured at the layer1 shape [32,128,128,64] on v5e (benchmarks/conv_ab.py):
+    mode='h'   H-only fold [3,3,2C,2F] (2x FLOPs):  53.1 TF/s effective — WINNER
+    mode='3x3' full fold [3,3,4C,4F]   (4x FLOPs):  33.0
+    mode='merged' [2,2,4C,4F]+slicing (1.83x):      23.2 (slices round-trip HBM)
+    lax.conv baseline:                               29.7
+    At the 256²-input shape [*,64,64,64] lax wins (72.5 vs 45.0) — callers
+    gate on spatial size (fast_backbone_apply: H >= 128)."""
     from synthetic_audio_detection_tpu.ops.space_to_depth import (
         conv3x3_s2d,
+        conv3x3_s2d_h,
         conv3x3_s2d_merged,
+        fold_conv3x3_s2d_h,
         fold_conv3x3_s2d_merged_traced,
         fold_conv3x3_s2d_traced,
     )
 
-    if mode == "merged":
+    if mode == "h":
+        wf = fold_conv3x3_s2d_h(p["kernel"].astype(dtype))
+        y = conv3x3_s2d_h(x_s2d.astype(dtype), wf,
+                          preferred_element_type=jnp.float32)
+        reps = 2
+    elif mode == "merged":
         wf = fold_conv3x3_s2d_merged_traced(p["kernel"].astype(dtype))
         y = conv3x3_s2d_merged(x_s2d.astype(dtype), wf,
                                preferred_element_type=jnp.float32)
+        reps = 4
     else:
         wf = fold_conv3x3_s2d_traced(p["kernel"].astype(dtype))
         y = conv3x3_s2d(x_s2d.astype(dtype), wf,
                         preferred_element_type=jnp.float32)
+        reps = 4
     alpha, beta = _bn_affine(bn_p, bn_s)
-    alpha4, beta4 = jnp.tile(alpha, 4), jnp.tile(beta, 4)
+    alpha4, beta4 = jnp.tile(alpha, reps), jnp.tile(beta, reps)
     y = y * alpha4[None, None, None, :] + beta4[None, None, None, :]
-    return jax.nn.relu(y) if relu else y
+    y = jax.nn.relu(y) if relu else y
+    return y.astype(dtype)  # keep HBM residents in the compute dtype
 
 
 def fast_backbone_apply(
@@ -108,22 +127,22 @@ def fast_backbone_apply(
     )
     use_s2d = (
         s2d_layer1 and block == "basic"
-        and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0
+        and y.shape[1] >= 128 and y.shape[1] % 2 == 0
     )
     if use_s2d:
         from synthetic_audio_detection_tpu.ops.space_to_depth import (
-            depth_to_space,
-            space_to_depth,
+            depth_to_space_h,
+            space_to_depth_h,
         )
 
-        ys = space_to_depth(y)
+        ys = space_to_depth_h(y)
         for b in range(stages[0]):
             p, st = base_params[f"layer1_{b}"], base_stats[f"layer1_{b}"]
             identity = ys
             out = _s2d_conv_bn(ys, p["conv1"], p["bn1"], st["bn1"], True, dtype)
             out = _s2d_conv_bn(out, p["conv2"], p["bn2"], st["bn2"], False, dtype)
             ys = jax.nn.relu(out + identity)
-        y = depth_to_space(ys)
+        y = depth_to_space_h(ys)
     n_convs = 2 if block == "basic" else 3
     for stage_idx, n_blocks in enumerate(stages):
         if stage_idx == 0 and use_s2d:
@@ -172,8 +191,8 @@ def fast_ensemble_forward(ens, x: jnp.ndarray,
         lambda a: a[0], ens.variables["batch_stats"]["base"]
     )
     feats = fast_backbone_apply(
-        base_params, base_stats, x, ens.model.backbone, dtype=ens.model.dtype
-        if ens.model.dtype != jnp.float32 else jnp.bfloat16,
+        base_params, base_stats, x, ens.model.backbone,
+        dtype=ens.model.dtype,  # honor the model's compute dtype verbatim
         s2d_layer1=s2d_layer1,
     )
     head = BinaryHead(dtype=ens.model.dtype)

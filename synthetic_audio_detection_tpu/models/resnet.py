@@ -83,6 +83,66 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+class _S2DConv3x3(nn.Module):
+    """Stride-1 3x3 conv evaluated in H-only space-to-depth form. The
+    parameter is the ORIGINAL [3, 3, C, F] kernel (same name/shape/init as
+    nn.Conv — checkpoints are interchangeable); it folds traceably to
+    [3, 3, 2C, 2F] inside the program, so gradients flow to the original
+    kernel and the reformulation is exact in both eval and train mode.
+    Measured 53.1 vs 29.7 TF/s effective at the layer1@512² shape
+    (benchmarks/conv_ab.py --variants s2dh)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_s2dh):
+        from synthetic_audio_detection_tpu.ops.space_to_depth import (
+            conv3x3_s2d_h,
+            fold_conv3x3_s2d_h,
+        )
+
+        c = x_s2dh.shape[-1] // 2
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, c, self.features),
+        )
+        wf = fold_conv3x3_s2d_h(kernel.astype(self.dtype))
+        # Emit in the compute dtype, exactly like nn.Conv (the MXU still
+        # accumulates bf16 matmuls in f32 internally). Forcing a wider
+        # preferred_element_type here materializes f32 activations in HBM —
+        # measured as a 2x layer1 slowdown in the composite serving program.
+        return conv3x3_s2d_h(x_s2dh.astype(self.dtype), wf,
+                             preferred_element_type=None)
+
+
+class S2DBasicBlock(nn.Module):
+    """BasicBlock evaluated in H-only s2d space (stride 1, no downsample —
+    the resnet18/34 stage-1 configuration). BatchNorm reduces over the phase
+    axis as well (reshape to [..., 2, C]), which is EXACTLY the original
+    per-channel statistic: s2d phases are just relocated rows. Param tree is
+    identical to BasicBlock's."""
+
+    planes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_s2dh, train: bool = False):
+        def bn(y, name):
+            b, h, w, c2 = y.shape
+            y5 = y.reshape(b, h, w, 2, c2 // 2)
+            y5 = _bn(train, name, self.dtype)(y5)
+            return y5.reshape(b, h, w, c2)
+
+        identity = x_s2dh
+        out = _S2DConv3x3(self.planes, self.dtype, name="conv1")(x_s2dh)
+        out = nn.relu(bn(out, "bn1"))
+        out = _S2DConv3x3(self.planes, self.dtype, name="conv2")(out)
+        out = bn(out, "bn2")
+        return nn.relu(out + identity)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -118,6 +178,10 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     in_channels: int = 3
     dtype: Any = jnp.float32
+    # Run stage 1 in H-only space-to-depth form (exact; train + eval). Only
+    # engages for basic blocks at stage-1 spatial >= 128 (512² inputs) where
+    # it is the measured win; otherwise silently uses the standard blocks.
+    s2d_stage1: bool = False
 
     @property
     def num_features(self) -> int:
@@ -137,6 +201,24 @@ class ResNet(nn.Module):
         planes = 64
         in_planes = 64
         for stage_idx, n_blocks in enumerate(self.stage_sizes):
+            if (
+                stage_idx == 0 and self.s2d_stage1 and self.block == "basic"
+                and x.shape[1] >= 128 and x.shape[1] % 2 == 0
+            ):
+                from synthetic_audio_detection_tpu.ops.space_to_depth import (
+                    depth_to_space_h,
+                    space_to_depth_h,
+                )
+
+                xs = space_to_depth_h(x)
+                for b in range(n_blocks):
+                    xs = S2DBasicBlock(
+                        planes=planes, dtype=self.dtype, name=f"layer1_{b}"
+                    )(xs, train=train)
+                x = depth_to_space_h(xs)
+                in_planes = planes * expansion
+                planes *= 2
+                continue
             stride = 1 if stage_idx == 0 else 2
             for b in range(n_blocks):
                 s = stride if b == 0 else 1
@@ -158,6 +240,7 @@ def create_resnet(
     in_channels: int = 3,
     dtype: Any = jnp.float32,
     module_name: Optional[str] = None,
+    s2d_stage1: bool = False,
 ) -> ResNet:
     if name not in RESNET_SPECS:
         raise ValueError(f"unknown backbone {name!r}; choose from {sorted(RESNET_SPECS)}")
@@ -168,6 +251,7 @@ def create_resnet(
         in_channels=in_channels,
         dtype=dtype,
         name=module_name,
+        s2d_stage1=s2d_stage1,
     )
 
 

@@ -96,7 +96,8 @@ class Trainer:
         self.augment = augment or SpecAugmentConfig()
         self.class_names = list(class_names) if class_names else [cfg.class0, cfg.class1]
         self.model = BinaryClassifier(
-            backbone=model_name, num_outputs=len(self.class_names)
+            backbone=model_name, num_outputs=len(self.class_names),
+            s2d_stage1=cfg.s2d_stage1,
         )
         self.model_name = model_name
 

@@ -146,6 +146,10 @@ class TrainConfig:
     # checkpoint backend: 'native' (msgpack + torch twin) or 'orbax'
     # (async step-indexed with retention, checkpoints/orbax_io.py)
     checkpoint_backend: str = "native"
+    # Exact H-only space-to-depth stage 1 (models/resnet.py:S2DBasicBlock):
+    # identical params/grads/stats, faster layer1 at 512² on TPU. Off by
+    # default; flip per measured hardware.
+    s2d_stage1: bool = False
 
 
 @dataclass(frozen=True)

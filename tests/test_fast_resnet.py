@@ -64,18 +64,34 @@ def test_fast_ensemble_matches_reference_rule(rng):
 
 def test_s2d_layer1_matches_plain_fast_path(rng):
     """The space-to-depth layer1 reformulation must be numerically equivalent
-    to the plain fast path (f32: exact up to accumulation order)."""
+    to the plain fast path (f32: exact up to accumulation order). Input is
+    512² so the stage-1 spatial size (128) actually engages the s2d gate."""
+    from synthetic_audio_detection_tpu.ops import space_to_depth as s2d_mod
+
     ens = _shared()
     base_params = jax.tree_util.tree_map(
         lambda a: a[0], ens.variables["params"]["base"])
     base_stats = jax.tree_util.tree_map(
         lambda a: a[0], ens.variables["batch_stats"]["base"])
-    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.4)
+    x = jnp.asarray(rng.standard_normal((1, 512, 512, 3)).astype(np.float32) * 0.4)
 
-    plain = np.asarray(fast_backbone_apply(
-        base_params, base_stats, x, dtype=jnp.float32))
-    s2d = np.asarray(fast_backbone_apply(
-        base_params, base_stats, x, dtype=jnp.float32, s2d_layer1=True))
+    calls = []
+    orig = s2d_mod.space_to_depth_h
+
+    def spy(a):
+        calls.append(a.shape)
+        return orig(a)
+
+    s2d_mod.space_to_depth_h = spy
+    try:
+        plain = np.asarray(fast_backbone_apply(
+            base_params, base_stats, x, dtype=jnp.float32))
+        assert not calls
+        s2d = np.asarray(fast_backbone_apply(
+            base_params, base_stats, x, dtype=jnp.float32, s2d_layer1=True))
+        assert calls, "s2d gate did not engage at 512² input"
+    finally:
+        s2d_mod.space_to_depth_h = orig
     np.testing.assert_allclose(s2d, plain, rtol=1e-4, atol=1e-4)
 
 
