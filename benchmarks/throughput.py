@@ -200,6 +200,13 @@ PRESETS = {
     "fastpath": dict(batch=128, heads=6, input_size=512, dtype="bf16",
                      use_pallas=True, shared_backbone=True,
                      fastpath_plain=True),
+    # fast-path at 256² fast mode
+    "fastpath-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
+                          use_pallas=True, shared_backbone=True,
+                          fastpath_plain=True),
+    # front end only at 256² (front-end share of the fast mode)
+    "melonly-fast": dict(batch=128, heads=1, input_size=256, dtype="bf16",
+                         use_pallas=True, shared_backbone=True, melonly=True),
     # s2d + 256² fast mode
     "s2d-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                      use_pallas=True, shared_backbone=True, s2d=True),
