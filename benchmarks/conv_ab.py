@@ -26,6 +26,11 @@ SHAPES = [
     ("layer1s", 32, 64, 64, 64, 64, 1),  # layer1 at 256² fast-mode input
     ("layer2", 32, 64, 64, 128, 128, 1),
     ("layer3", 32, 32, 32, 256, 256, 1),
+    # 256² fast-mode stage shapes at serving batch (where does 65 TF/s go?)
+    ("layer1sb", 128, 64, 64, 64, 64, 1),
+    ("layer2s", 128, 32, 32, 128, 128, 1),
+    ("layer3s", 128, 16, 16, 256, 256, 1),
+    ("layer4s", 128, 8, 8, 512, 512, 1),
 ]
 
 

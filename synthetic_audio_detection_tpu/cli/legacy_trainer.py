@@ -16,7 +16,9 @@ import os
 import sys
 import time
 
-BACKBONES = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+from synthetic_audio_detection_tpu.models.resnet import RESNET_SPECS
+
+BACKBONES = tuple(sorted(RESNET_SPECS))
 LEGACY_CLASSES = ["Real", "class1", "class2", "class3", "class4"]
 
 

@@ -173,3 +173,35 @@ def test_load_audio_non_wav_dispatch(tmp_path, rng):
         (tmp_path / "b.mp3").write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
         with pytest.raises(RuntimeError, match="ffmpeg"):
             load_audio(str(tmp_path / "b.mp3"))
+
+
+def test_fast_backbone_and_s2d_autogates(tiny_pipeline, monkeypatch):
+    """Measured-regime gating: throughput pipelines (bucket > 32) take the
+    folded-affine fast backbone; latency pipelines (bucket <= 32) take the
+    s2d layer1 route instead; float32 pipelines take neither."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    ens = tiny_pipeline.ensemble  # shared-backbone (built in fixture? check)
+    import dataclasses
+    ens = dataclasses.replace(ens, shared_backbone=True)
+    spec = SpectrogramConfig(mel_norm="slaney", out_size=64)
+
+    p_throughput = InferencePipeline(
+        ens, spec=spec, infer=InferenceConfig(batch_size=128),
+        compute_dtype=jnp.bfloat16,
+    )
+    assert p_throughput.use_fast_backbone is True
+    assert p_throughput.use_s2d_layer1 is False
+
+    p_latency = InferencePipeline(
+        ens, spec=spec, infer=InferenceConfig(batch_size=8),
+        compute_dtype=jnp.bfloat16,
+    )
+    assert p_latency.use_s2d_layer1 is True
+    assert p_latency.use_fast_backbone is False
+
+    p_f32 = InferencePipeline(
+        ens, spec=spec, infer=InferenceConfig(batch_size=128),
+        compute_dtype=jnp.float32,
+    )
+    assert p_f32.use_fast_backbone is False
+    assert p_f32.use_s2d_layer1 is False
