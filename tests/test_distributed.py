@@ -90,3 +90,81 @@ def test_initialize_distributed_plumbing(monkeypatch):
         "num_processes": 4,
         "process_id": 2,
     }]
+
+
+TRAIN_CHILD = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, %r)
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    from synthetic_audio_detection_tpu.parallel.sharding import (
+        batch_sharded, create_mesh, initialize_distributed, replicate,
+    )
+    initialize_distributed("127.0.0.1:" + port, nproc, pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+    from synthetic_audio_detection_tpu.train import steps
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpecAugmentConfig, SpectrogramConfig, TrainConfig,
+    )
+
+    mesh = create_mesh()
+    cfg = TrainConfig(batch_size=1)
+    model = BinaryClassifier(backbone="resnet18")
+    state, tx = steps.create_train_state(
+        model, jax.random.PRNGKey(0), cfg, input_size=64)
+    step = jax.jit(steps.make_train_step(
+        model, tx, cfg, SpectrogramConfig(out_size=64), SpecAugmentConfig(),
+        sample_rate=32_000))
+    rows_here = 2 * jax.local_device_count()
+    rng = np.random.default_rng(pid)
+    local = {
+        "audio": (rng.standard_normal((rows_here, 32_000)) * 0.2
+                  ).astype(np.float32),
+        "label": np.tile([0, 1], rows_here // 2).astype(np.int32),
+        "weight": np.ones(rows_here, np.float32),
+    }
+    with mesh:
+        state = replicate(mesh, state)
+        batch = {
+            k: jax.make_array_from_process_local_data(
+                batch_sharded(mesh, np.asarray(v).ndim), np.asarray(v))
+            for k, v in local.items()
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        loss = float(np.asarray(metrics["loss"]))
+    assert np.isfinite(loss)
+    print("DP_TRAIN_LOSS %%.6f" %% loss, flush=True)
+""" % REPO)
+
+
+def test_two_process_data_parallel_train_step():
+    """One jitted train step with the global batch sharded across TWO OS
+    processes: the gradient all-reduce rides the cross-process collective
+    path and both hosts must see the identical (replicated) loss."""
+    port = str(_free_port())
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", TRAIN_CHILD, str(pid), "2", port],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    losses = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-3000:]}"
+            line = [l for l in out.splitlines() if l.startswith("DP_TRAIN_LOSS")]
+            assert line, out
+            losses.append(float(line[0].split()[1]))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed train-step smoke timed out")
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
