@@ -124,8 +124,10 @@ def bench_config(
                     M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
             feats = jax.image.resize(
                 z, (z.shape[0], input_size, input_size), method="linear")
-            x = jnp.broadcast_to(
-                feats[..., None].astype(jnp.bfloat16), (*feats.shape, 3))
+            ch = ens.model.in_channels
+            x = feats[..., None].astype(jnp.bfloat16)
+            if ch > 1:
+                x = jnp.broadcast_to(x, (*feats.shape, ch))
             e = dc.replace(ens, variables=variables)
             return fast_ensemble_forward(e, x, s2d_layer1=False)
 
@@ -204,6 +206,13 @@ PRESETS = {
     "fastpath-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                           use_pallas=True, shared_backbone=True,
                           fastpath_plain=True),
+    # fast path + mono-folded stem (stem measured 4.19 ms @C=3 vs 1.72 @C=1)
+    "fastpath-mono": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                          use_pallas=True, shared_backbone=True,
+                          fastpath_plain=True, mono=True),
+    "fastpath-mono-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
+                               use_pallas=True, shared_backbone=True,
+                               fastpath_plain=True, mono=True),
     # front end only at 256² (front-end share of the fast mode)
     "melonly-fast": dict(batch=128, heads=1, input_size=256, dtype="bf16",
                          use_pallas=True, shared_backbone=True, melonly=True),

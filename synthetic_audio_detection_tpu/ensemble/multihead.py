@@ -153,6 +153,7 @@ def fold_to_mono(ens: MultiHeadEnsemble) -> MultiHeadEnsemble:
         in_channels=1,
         num_outputs=ens.model.num_outputs,
         dtype=ens.model.dtype,
+        s2d_stage1=getattr(ens.model, "s2d_stage1", False),
     )
     return dataclasses.replace(ens, model=model, variables=variables)
 

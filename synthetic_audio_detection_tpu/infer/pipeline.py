@@ -191,7 +191,23 @@ class InferencePipeline:
         transport_dtype: str = "float32",
         use_s2d_layer1: Optional[bool] = None,
         use_fast_backbone: Optional[bool] = None,
+        fold_mono: Optional[bool] = None,
     ):
+        # Exact mono stem fold (sum conv1's kernel over its input axis; the
+        # front end feeds one replicated mel channel, so this is
+        # bit-equivalent). OPT-IN: although the isolated stem measures 2.4x
+        # faster at C=1 (4.19 → 1.72 ms/batch-128 @512²), the composite
+        # program shows XLA already folds the broadcast into the conv —
+        # mono measured NEUTRAL at 512² (6,005 vs 6,020 seg/s) and HARMFUL
+        # at 256² (12,868 vs 19,524: C=1 stems hit a bad emitter path).
+        if fold_mono is None:
+            fold_mono = False
+        if fold_mono and ensemble.model.in_channels == 3:
+            from synthetic_audio_detection_tpu.ensemble.multihead import (
+                fold_to_mono,
+            )
+
+            ensemble = fold_to_mono(ensemble)
         self.ensemble = ensemble
         self.audio = audio or AudioConfig()
         self.spec = spec or SpectrogramConfig.inference()
