@@ -222,6 +222,9 @@ PRESETS = {
     # per-clip latency config: small batch, fidelity input
     "latency": dict(batch=8, heads=6, input_size=512, dtype="bf16",
                     use_pallas=True, shared_backbone=True),
+    # latency + s2d layer1 (the serving auto-gate's choice for buckets <= 32)
+    "latency-s2d": dict(batch=8, heads=6, input_size=512, dtype="bf16",
+                        use_pallas=True, shared_backbone=True, s2d=True),
     # front end only (mel + resize, no model) — decomposition ablation
     "melonly": dict(batch=128, heads=1, input_size=512, dtype="bf16",
                     use_pallas=True, shared_backbone=True, melonly=True),

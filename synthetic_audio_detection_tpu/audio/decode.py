@@ -50,7 +50,9 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
         res = subprocess.run(
             [
                 "ffmpeg", "-loglevel", "error", "-y", "-i", path,
-                "-c:a", "pcm_s16le", tmp,
+                # float WAV: torchaudio.load returns full-precision floats,
+                # so 24-bit/float sources must not be truncated to 16 bits
+                "-c:a", "pcm_f32le", tmp,
             ],
             capture_output=True,
             text=True,

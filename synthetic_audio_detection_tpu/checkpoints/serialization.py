@@ -146,7 +146,8 @@ def load_submodel_torch(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     extras: Dict[str, Any] = {}
     if isinstance(obj, dict) and "state_dict" in obj:
         sd = obj["state_dict"]
-        for k in ("epoch", "best_acc", "total_steps", "scheduler", "optimizer"):
+        for k in ("epoch", "best_acc", "total_steps", "scheduler", "optimizer",
+                  "layer3_unfrozen"):
             if k in obj:
                 extras[k] = obj[k]
     else:
@@ -164,22 +165,25 @@ def save_submodel_torch(
     epoch: int = 0,
     best_acc: float = 0.0,
     total_steps: int = 0,
+    scheduler: Optional[Dict[str, Any]] = None,
+    layer3_unfrozen: Optional[bool] = None,
 ) -> None:
     """Write the reference trainer checkpoint contract
-    (submodel_trainer.py:707-714). Optimizer/scheduler state is stored as
-    empty dicts — the reference only consumes them through torch optimizers,
-    which our resume path does not need (native resume uses save_native)."""
+    (submodel_trainer.py:707-714). ``scheduler`` carries the plateau state
+    (PlateauState.state_dict()) so resuming from the twin keeps the LR
+    trajectory; torch optimizer moments have no optax mapping and stay an
+    empty dict (native resume restores them from save_native)."""
     sd = torch_compat.torch_state_dict_from_variables(
         jax.tree_util.tree_map(np.asarray, variables)
     )
-    torch_pickle.save(
-        {
-            "epoch": int(epoch),
-            "state_dict": sd,
-            "best_acc": float(best_acc),
-            "optimizer": {},
-            "scheduler": {},
-            "total_steps": int(total_steps),
-        },
-        path,
-    )
+    payload = {
+        "epoch": int(epoch),
+        "state_dict": sd,
+        "best_acc": float(best_acc),
+        "optimizer": {},
+        "scheduler": dict(scheduler) if scheduler else {},
+        "total_steps": int(total_steps),
+    }
+    if layer3_unfrozen is not None:
+        payload["layer3_unfrozen"] = bool(layer3_unfrozen)
+    torch_pickle.save(payload, path)

@@ -80,7 +80,10 @@ def rename_files(input_dir: str, recursive: bool = False) -> List[Tuple[str, str
 # ---------------------------------------------------------------------------
 
 def _have_ffmpeg() -> bool:
-    return shutil.which("ffmpeg") is not None
+    # single source of truth lives with the serving decoder
+    from synthetic_audio_detection_tpu.audio.decode import have_ffmpeg
+
+    return have_ffmpeg()
 
 
 def convert_audio_file(

@@ -148,6 +148,11 @@ def _forward_windows(
     else:
         x = melspec.replicate_channels(feats, spec_cfg.out_channels)
     ens = dataclasses.replace(ensemble, variables=variables)
+    if jnp.dtype(ens.model.dtype) != jnp.dtype(compute_dtype):
+        # compute_dtype governs the whole program: a float32-constructed model
+        # (e.g. a freshly loaded checkpoint) must not silently run f32 convs
+        # inside a bf16 pipeline (or vice versa); params stay f32 either way.
+        ens = dataclasses.replace(ens, model=ens.model.clone(dtype=compute_dtype))
     if use_s2d_layer1:
         # layer1 at 512² runs 8x under MXU peak through plain lax.conv; the
         # exactly-folded H-only space-to-depth stage (models/resnet.py:

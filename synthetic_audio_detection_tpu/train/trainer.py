@@ -171,6 +171,8 @@ class Trainer:
             serialization.save_submodel_torch(
                 path + ".pth", payload["variables"], epoch=extra["epoch"],
                 best_acc=extra["best_acc"], total_steps=extra["total_steps"],
+                scheduler=extra["scheduler"],
+                layer3_unfrozen=extra["layer3_unfrozen"],
             )
             return
         serialization.save_native(path, payload, metadata=extra)
@@ -181,6 +183,8 @@ class Trainer:
             epoch=extra["epoch"],
             best_acc=extra["best_acc"],
             total_steps=extra["total_steps"],
+            scheduler=extra["scheduler"],
+            layer3_unfrozen=extra["layer3_unfrozen"],
         )
 
     def resume(self, path: str) -> None:
@@ -205,12 +209,18 @@ class Trainer:
                 )
             sched = extras.get("scheduler")
             if isinstance(sched, dict) and sched:
-                self.plateau = PlateauState.from_torch_state_dict(
-                    sched, base_lr=self.cfg.lr
-                )
+                if "scale" in sched:  # our twin stores PlateauState directly
+                    self.plateau = PlateauState.from_state_dict(sched)
+                else:  # genuine torch ReduceLROnPlateau state dict
+                    self.plateau = PlateauState.from_torch_state_dict(
+                        sched, base_lr=self.cfg.lr
+                    )
                 self.state = self.state.replace(
                     lr_scale=jnp.asarray(self.plateau.scale, jnp.float32)
                 )
+            if extras.get("layer3_unfrozen"):
+                self.state = steps.unfreeze_layer3(self.state)
+                self.layer3_unfrozen = True
             log.warning(
                 "torch-ckpt resume: optimizer moments not restored "
                 "(torch AdamW state has no optax mapping); params/batch_stats/"
@@ -258,17 +268,26 @@ class Trainer:
 
     def train_epoch(self, batcher: ds.WaveformBatcher, epoch: int) -> Dict[str, float]:
         target_rows = 2 * batcher.batch_size
-        losses, accs = [], []
-        m = None
+        # Full-epoch running mean accumulated ON DEVICE (tiny scalar adds, no
+        # per-step host sync): this is what the reference's scheduler consumes
+        # (submodel_trainer.py:300-309) — sampling only every log_every_steps
+        # batches would make the plateau decision depend on logging cadence.
+        loss_sum = jnp.float32(0.0)
+        acc_sum = jnp.float32(0.0)
+        n_good = jnp.float32(0.0)
         t0 = time.time()
         for i, batch in enumerate(self._batches(batcher, epoch, target_rows)):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, m = self._train_step(self.state, batch, step_rng)
+            # NaN-skipped batches stay out of the epoch mean (the reference's
+            # `continue` drops them from its running loss too)
+            good = jnp.isfinite(m["loss"]).astype(jnp.float32)
+            loss_sum = loss_sum + jnp.where(good > 0, m["loss"], 0.0)
+            acc_sum = acc_sum + good * m["accuracy"]
+            n_good = n_good + good
             if (i + 1) % self.cfg.log_every_steps == 0:
                 loss = float(m["loss"])
                 acc = float(m["accuracy"])
-                losses.append(loss)
-                accs.append(acc)
                 step = int(self.state.step)
                 lr = self.cfg.lr * float(self.state.lr_scale)
                 self.writer.add_scalar("train/loss", loss, step)
@@ -279,14 +298,11 @@ class Trainer:
                     epoch, step, loss, acc,
                     (i + 1) * target_rows / (time.time() - t0),
                 )
-        if not losses:  # short epochs (or truly empty ones): still report
-            last = (
-                jax.tree_util.tree_map(float, m)
-                if m is not None
-                else {"loss": 0.0, "accuracy": 0.0}
-            )
-            losses, accs = [last["loss"]], [last["accuracy"]]
-        return {"loss": float(np.mean(losses)), "accuracy": float(np.mean(accs))}
+        denom = max(float(n_good), 1.0)
+        return {
+            "loss": float(loss_sum) / denom,
+            "accuracy": float(acc_sum) / denom,
+        }
 
     def validate(self, batcher: ds.WaveformBatcher, epoch: int) -> EpochResult:
         target_rows = 2 * batcher.batch_size
@@ -325,7 +341,10 @@ class Trainer:
         unfreeze_epoch = int(cfg.epochs * cfg.unfreeze_layer3_at_fraction)
 
         for epoch in range(self.start_epoch, cfg.epochs):
-            if epoch == unfreeze_epoch and not self.layer3_unfrozen:
+            # >= (not ==): a resume that starts past the boundary (e.g. a
+            # torch checkpoint without the layer3_unfrozen flag, saved at or
+            # after the unfreeze epoch) must still unfreeze on its first epoch
+            if epoch >= unfreeze_epoch and not self.layer3_unfrozen:
                 self.state = steps.unfreeze_layer3(self.state)
                 self.layer3_unfrozen = True
                 log.info("epoch %d: unfroze layer3 (epochs//3 schedule)", epoch)

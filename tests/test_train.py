@@ -301,3 +301,76 @@ def test_producer_exception_propagates_not_deadlocks():
             list(b.epoch(0))
     finally:
         signal.alarm(0)
+
+
+def test_torch_twin_restores_scheduler_and_freeze_state(tmp_path):
+    """The .pth twin must carry the plateau state and the layer3 flag so a
+    torch-twin resume keeps the LR trajectory and stays unfrozen (review
+    findings r2: scheduler={} silently reset the LR schedule, and a resume
+    past the unfreeze boundary never unfroze layer3)."""
+    from synthetic_audio_detection_tpu.train import steps
+    from synthetic_audio_detection_tpu.train.trainer import Trainer
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    cfg = TrainConfig(batch_size=2, lr=1e-2, checkpoint_dir=str(tmp_path))
+    spec = SpectrogramConfig(out_size=64)
+    t = Trainer(cfg, spec_cfg=spec, use_mesh=False, log_dir=str(tmp_path / "tb"))
+    # drive the plateau into a reduced-LR regime and unfreeze layer3
+    for v in [1.0, 1.1, 1.1, 1.1, 1.1]:
+        t.plateau.update(v)
+    assert t.plateau.scale < 1.0
+    t.state = steps.unfreeze_layer3(t.state)
+    t.layer3_unfrozen = True
+    path = str(tmp_path / "ckpt")
+    t.save_checkpoint(5, path)
+
+    t2 = Trainer(cfg, spec_cfg=spec, use_mesh=False, log_dir=str(tmp_path / "tb2"))
+    t2.resume(path + ".pth")
+    assert t2.start_epoch == 6
+    assert t2.plateau.scale == pytest.approx(t.plateau.scale)
+    assert t2.plateau.num_bad_epochs == t.plateau.num_bad_epochs
+    assert t2.layer3_unfrozen is True
+    assert float(t2.state.lr_scale) == pytest.approx(t.plateau.scale)
+
+
+def test_epoch_mean_feeds_scheduler_not_sampled_loss():
+    """train_epoch's reported loss must be the FULL-epoch mean (what the
+    reference scheduler consumes), not the every-log_every_steps sample."""
+    import types
+
+    from synthetic_audio_detection_tpu.train.trainer import Trainer
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    cfg = TrainConfig(batch_size=1, log_every_steps=100)
+    t = Trainer.__new__(Trainer)  # skip heavy init; drive train_epoch directly
+    t.cfg = cfg
+    t.mesh = None
+    t.rng = jax.random.PRNGKey(0)
+    t.writer = types.SimpleNamespace(add_scalar=lambda *a, **k: None)
+    t.state = types.SimpleNamespace(step=0, lr_scale=1.0)
+
+    losses = iter([1.0, 2.0, 3.0, float("nan")])  # nan batch must be excluded
+
+    def fake_step(state, batch, rng):
+        v = next(losses)
+        return state, {"loss": jnp.float32(v), "accuracy": jnp.float32(1.0)}
+
+    t._train_step = fake_step
+
+    class FakeBatcher:
+        batch_size = 1
+
+        def epoch(self, _):
+            for _ in range(4):
+                yield {"audio": np.zeros((2, 10), np.float32),
+                       "label": np.zeros(2, np.int32),
+                       "weight": np.ones(2, np.float32)}
+
+    out = t.train_epoch(FakeBatcher(), 0)
+    assert out["loss"] == pytest.approx(2.0)  # mean of 1,2,3; nan excluded
