@@ -153,6 +153,40 @@ def make_s2dh_conv(w):
     return fn
 
 
+def _chunked_conv(x, w, scale, bias, chunk: int):
+    """Batch-chunked lax.conv: B=128 computed as concat of B=chunk convs.
+    Probes the emitter's batch sensitivity INSIDE one program (standalone
+    lax.conv measured 72.5 TF/s at B=16 vs 52.4 at B=128 vs 29.7 at B=32 —
+    if the small-batch tiling survives as separate ops in a composite, this
+    is a free layer1 win)."""
+    b = x.shape[0]
+    assert b % chunk == 0
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    outs = []
+    for i in range(b // chunk):
+        y = jax.lax.conv_general_dilated(
+            xb[i * chunk:(i + 1) * chunk], wb,
+            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(jnp.maximum(y * scale + bias, 0.0))
+    return jnp.concatenate(outs, axis=0)
+
+
+def chunk16_conv(x, w, scale, bias):
+    return _chunked_conv(x, w, scale, bias, 16)
+
+
+def chunk32_conv(x, w, scale, bias):
+    return _chunked_conv(x, w, scale, bias, 32)
+
+
+def chunk64_conv(x, w, scale, bias):
+    return _chunked_conv(x, w, scale, bias, 64)
+
+
 def _tiled_conv(x, w, scale, bias, splits_h, splits_w):
     """Spatial tiling with 1-px halos: [B,H,W,C] → [sh*sw*B, H/sh+2, W/sw+2, C]
     VALID conv → reassemble. Probes whether XLA's conv emitter handles the
@@ -237,7 +271,8 @@ def main():
     p.add_argument("--variants", nargs="*",
                    default=["lax", "gemm", "pallas"],
                    choices=["lax", "gemm", "pallas", "s2d", "s2d4", "s2dm",
-                            "s2dh", "tile4", "tile2h", "int8pure", "int8dynq"])
+                            "s2dh", "tile4", "tile2h", "int8pure", "int8dynq",
+                            "chunk16", "chunk32", "chunk64"])
     p.add_argument("--shapes", nargs="*",
                    default=[s[0] for s in SHAPES],
                    choices=[s[0] for s in SHAPES])
@@ -282,7 +317,8 @@ def main():
                 else:
                     fn = {"lax": lax_conv, "gemm": gemm_conv,
                           "pallas": pallas_conv, "tile4": tile4_conv,
-                          "tile2h": tile2h_conv}[label]
+                          "tile2h": tile2h_conv, "chunk16": chunk16_conv,
+                          "chunk32": chunk32_conv, "chunk64": chunk64_conv}[label]
                     t = timed_loop(fn, x, w, scale, bias)
                 row[f"{label}_ms"] = round(t * 1e3, 3)
                 row[f"{label}_tflops"] = round(gflop / t / 1e3, 1)
