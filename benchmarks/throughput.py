@@ -53,6 +53,7 @@ def bench_config(
     melonly: bool = False,
     s2d: bool = False,
     fastpath_plain: bool = False,
+    s2d_stem: str = "",
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -129,7 +130,8 @@ def bench_config(
             if ch > 1:
                 x = jnp.broadcast_to(x, (*feats.shape, ch))
             e = dc.replace(ens, variables=variables)
-            return fast_ensemble_forward(e, x, s2d_layer1=False)
+            return fast_ensemble_forward(e, x, s2d_layer1=False,
+                                         s2d_stem=s2d_stem)
 
         variables_in = ens.variables
     else:
@@ -213,6 +215,15 @@ PRESETS = {
     "fastpath-mono-fast": dict(batch=128, heads=6, input_size=256, dtype="bf16",
                                use_pallas=True, shared_backbone=True,
                                fastpath_plain=True, mono=True),
+    # fast path + s2d-folded stem (the composite's worst stage: 6.18 ms of
+    # 21.2 at ~25 TF/s, stage_decomp.py) — 'h' = 1.14x FLOPs @2C lanes,
+    # 'full' = 1.31x @4C
+    "s2dstem-h": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                      use_pallas=True, shared_backbone=True,
+                      fastpath_plain=True, s2d_stem="h"),
+    "s2dstem-full": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                         use_pallas=True, shared_backbone=True,
+                         fastpath_plain=True, s2d_stem="full"),
     # front end only at 256² (front-end share of the fast mode)
     "melonly-fast": dict(batch=128, heads=1, input_size=256, dtype="bf16",
                          use_pallas=True, shared_backbone=True, melonly=True),

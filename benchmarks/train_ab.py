@@ -49,7 +49,7 @@ def main() -> None:
     p.add_argument("--input-size", type=int, default=512)
     p.add_argument("--backbone", default="resnet18")
     p.add_argument("--variants", nargs="*", default=["plain", "s2d"],
-                   choices=["plain", "s2d"])
+                   choices=["plain", "s2d", "sg", "sg-s2d", "sg3"])
     args = p.parse_args()
 
     import __graft_entry__  # noqa: F401  (enables the compile cache)
@@ -74,10 +74,17 @@ def main() -> None:
 
     for variant in args.variants:
         model = BinaryClassifier(backbone=args.backbone,
-                                 s2d_stage1=(variant == "s2d"))
+                                 s2d_stage1=("s2d" in variant))
         state, tx = steps.create_train_state(
             model, jax.random.PRNGKey(0), cfg, input_size=args.input_size)
-        step = steps.make_train_step(model, tx, cfg, spec, SpecAugmentConfig())
+        # sg = stop-grad at the phase-1 freeze boundary (before layer4);
+        # sg3 = phase-2 boundary (before layer3, post-unfreeze schedule)
+        sg_stage = 4 if variant.startswith("sg") and variant != "sg3" else (
+            3 if variant == "sg3" else 0)
+        if variant == "sg3":
+            state = steps.unfreeze_layer3(state)
+        step = steps.make_train_step(model, tx, cfg, spec, SpecAugmentConfig(),
+                                     stop_grad_stage=sg_stage)
         per_iter = measure(step, state, batch, jax.random.PRNGKey(1))
         print(json.dumps({
             "variant": variant,

@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("threads", "grain"),
                    help="Input pipeline: thread pool (default) or grain "
                    "worker processes")
+    p.add_argument("--stop-grad-boundary", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Stop gradients at the freeze boundary so the frozen "
+                   "stages' backward pass is never computed (identical "
+                   "updates; the step recompiles once when layer3 unfreezes). "
+                   "Default: on.")
     p.add_argument("--reference-quirk-loss", action="store_true",
                    help="Reproduce the reference trainer's head-not-in-loss "
                    "bug exactly (CE over pooled backbone features; "
@@ -111,6 +117,7 @@ def main(argv=None) -> int:
         class1=args.Class1,
         data_backend=args.data_backend,
         s2d_stage1=_resolve_s2d(args),
+        stop_grad_boundary=args.stop_grad_boundary,
     )
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 

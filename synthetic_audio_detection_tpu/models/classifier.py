@@ -32,11 +32,15 @@ class BinaryClassifier(nn.Module):
     # exact H-only space-to-depth stage 1 (models/resnet.py:S2DBasicBlock);
     # param tree unchanged, so checkpoints are interchangeable either way
     s2d_stage1: bool = False
+    # train-time freeze-boundary gradient stop (models/resnet.py:ResNet
+    # .stop_grad_stage): skip the backward pass through frozen stages
+    stop_grad_stage: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         base = create_resnet(self.backbone, self.in_channels, self.dtype,
-                             module_name="base", s2d_stage1=self.s2d_stage1)
+                             module_name="base", s2d_stage1=self.s2d_stage1,
+                             stop_grad_stage=self.stop_grad_stage)
         feats = base(x, train=train)
         return BinaryHead(
             num_outputs=self.num_outputs, dtype=self.dtype, name="head"

@@ -107,6 +107,7 @@ def fast_backbone_apply(
     gemm_max_channels: int = 0,
     dtype=jnp.bfloat16,
     s2d_layer1: bool = False,
+    s2d_stem: str = "",
 ) -> jnp.ndarray:
     """[B, H, W, C] → un-pooled feature map (eval mode).
 
@@ -115,10 +116,39 @@ def fast_backbone_apply(
     [B,64,64,256] with exactly-folded kernels — 4x nominal FLOPs at MXU-
     friendly channel width. Residual adds/ReLU/BN commute with the
     rearrangement, so the whole stage stays in s2d space with one
-    depth_to_space at the end. Basic-block backbones only."""
+    depth_to_space at the end. Basic-block backbones only.
+
+    s2d_stem ('h' | 'full') folds the 7x7/2 stem conv onto an s2d input
+    (exact; ops/space_to_depth.py stem section) — the composite's worst
+    stage at 512² (6.18 ms of 21.2, ~25 TF/s, benchmarks/stage_decomp.py):
+    'h' = [4,7,2C,F] at 1.14x FLOPs, 'full' = [4,4,4C,F] at 1.31x."""
     block, stages = RESNET_SPECS[backbone]
-    y = _conv_bn(x, base_params["conv1"], base_params["bn1"],
-                 base_stats["bn1"], 2, True, gemm_max_channels, dtype)
+    if s2d_stem in ("h", "full") and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from synthetic_audio_detection_tpu.ops.space_to_depth import (
+            conv7x7s2_s2d,
+            conv7x7s2_s2d_h,
+            fold_conv7x7s2_s2d,
+            fold_conv7x7s2_s2d_h,
+            space_to_depth,
+            space_to_depth_h,
+        )
+
+        k = base_params["conv1"]["kernel"].astype(dtype)
+        if s2d_stem == "h":
+            y = conv7x7s2_s2d_h(space_to_depth_h(x.astype(dtype)),
+                                fold_conv7x7s2_s2d_h(k),
+                                preferred_element_type=jnp.float32)
+        else:
+            y = conv7x7s2_s2d(space_to_depth(x.astype(dtype)),
+                              fold_conv7x7s2_s2d(k),
+                              preferred_element_type=jnp.float32)
+        alpha, beta = _bn_affine(base_params["bn1"], base_stats["bn1"])
+        y = jax.nn.relu(
+            y * alpha[None, None, None, :] + beta[None, None, None, :]
+        ).astype(dtype)
+    else:
+        y = _conv_bn(x, base_params["conv1"], base_params["bn1"],
+                     base_stats["bn1"], 2, True, gemm_max_channels, dtype)
     y = jax.lax.reduce_window(
         y, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
@@ -175,7 +205,8 @@ def fast_backbone_apply(
 
 
 def fast_ensemble_forward(ens, x: jnp.ndarray,
-                          s2d_layer1: bool = False) -> jnp.ndarray:
+                          s2d_layer1: bool = False,
+                          s2d_stem: str = "") -> jnp.ndarray:
     """Shared-backbone ensemble forward through the fast backbone.
     x: [B, H, W, C] → [B, N+1] logits (matches ensemble_forward numerics in
     bf16). s2d_layer1 routes stage 1 through the space-to-depth folding."""
@@ -194,6 +225,7 @@ def fast_ensemble_forward(ens, x: jnp.ndarray,
         base_params, base_stats, x, ens.model.backbone,
         dtype=ens.model.dtype,  # honor the model's compute dtype verbatim
         s2d_layer1=s2d_layer1,
+        s2d_stem=s2d_stem,
     )
     head = BinaryHead(dtype=ens.model.dtype)
     head_vars = {

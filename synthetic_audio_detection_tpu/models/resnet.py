@@ -182,6 +182,17 @@ class ResNet(nn.Module):
     # engages for basic blocks at stage-1 spatial >= 128 (512² inputs) where
     # it is the measured win; otherwise silently uses the standard blocks.
     s2d_stage1: bool = False
+    # Freeze-boundary gradient stop: during train, stop_gradient the
+    # activation entering stage N (1-based; 0 = off). With the reference
+    # freeze schedule (everything below layer4 frozen, layer3 joining at
+    # epochs//3 — submodel_trainer.py:609-633,687-691) the backward pass
+    # through the frozen stages is pure waste: their grads are masked to
+    # zero by the trainer anyway (train/steps.py freeze_mask). Stopping the
+    # gradient at the boundary lets XLA DCE that whole backward subgraph —
+    # identical updates (the pruned grads were exact zeros after masking)
+    # and MORE robust (a non-finite frozen-layer grad can no longer poison
+    # the global-norm clip through g*0=NaN).
+    stop_grad_stage: int = 0
 
     @property
     def num_features(self) -> int:
@@ -201,6 +212,10 @@ class ResNet(nn.Module):
         planes = 64
         in_planes = 64
         for stage_idx, n_blocks in enumerate(self.stage_sizes):
+            if train and self.stop_grad_stage == stage_idx + 1:
+                import jax
+
+                x = jax.lax.stop_gradient(x)
             if (
                 stage_idx == 0 and self.s2d_stage1 and self.block == "basic"
                 and x.shape[1] >= 128 and x.shape[1] % 2 == 0
@@ -241,6 +256,7 @@ def create_resnet(
     dtype: Any = jnp.float32,
     module_name: Optional[str] = None,
     s2d_stage1: bool = False,
+    stop_grad_stage: int = 0,
 ) -> ResNet:
     if name not in RESNET_SPECS:
         raise ValueError(f"unknown backbone {name!r}; choose from {sorted(RESNET_SPECS)}")
@@ -252,6 +268,7 @@ def create_resnet(
         dtype=dtype,
         name=module_name,
         s2d_stage1=s2d_stage1,
+        stop_grad_stage=stop_grad_stage,
     )
 
 

@@ -256,6 +256,77 @@ def fold_conv3x3_s2d_merged_traced(w: jnp.ndarray) -> jnp.ndarray:
     return wf.reshape(2, 2, 4 * c, 4 * f)
 
 
+# ---------------------------------------------------------------------------
+# Stem (7x7 stride-2) foldings — the OTHER narrow-channel frontier
+# ---------------------------------------------------------------------------
+# Composite stage decomposition at 512²/B=128 (benchmarks/stage_decomp.py):
+# stem+maxpool = 6.18 ms of the 21.2 ms batch (~25 TF/s — the worst stage;
+# layer1 runs at ~135 TF/s in the composite). The stride-2 stem folds onto an
+# s2d input with NO output phases: r = 2u+dy-3 = 2i+p gives tap offsets
+# i-u ∈ {-2,-1,0,+1}, so the folded kernel has 4 H-taps and channel width
+# 2C (H-only) or 4C (both dims) at 1.14x / 1.31x nominal FLOPs.
+
+
+def _fold_map_stem_h() -> np.ndarray:
+    """One-hot M[ty, p, dy]: stem tap dy lands on s2d-H tap ty, phase p
+    (dy = 2*ty + p - 1)."""
+    m = np.zeros((4, 2, 7), np.float32)
+    for ty in range(4):
+        for p in range(2):
+            dy = 2 * ty + p - 1
+            if 0 <= dy < 7:
+                m[ty, p, dy] = 1.0
+    return m
+
+
+_FOLD_MAP_STEM_H = _fold_map_stem_h()
+
+
+def fold_conv7x7s2_s2d_h(w) -> jnp.ndarray:
+    """[7, 7, C, F] → [4, 7, 2C, F]: H-only stem folding (1.14x nominal
+    FLOPs at 2C channel width; stride 2 keeps only the W axis). Traceable."""
+    w = jnp.asarray(w)
+    c, f = w.shape[2], w.shape[3]
+    wf = jnp.einsum("tpy,yxcf->txpcf",
+                    jnp.asarray(_FOLD_MAP_STEM_H, w.dtype), w)
+    return wf.reshape(4, 7, 2 * c, f)
+
+
+def conv7x7s2_s2d_h(x_s2dh: jnp.ndarray, w_folded: jnp.ndarray,
+                    preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """[B, H/2, W, 2C] x [4, 7, 2C, F] → [B, H/2, W/2, F]. Exactly equals
+    the SAME-padded 7x7 stride-2 stem conv on the unfolded input."""
+    return jax.lax.conv_general_dilated(
+        x_s2dh, w_folded,
+        window_strides=(1, 2), padding=[(2, 1), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def fold_conv7x7s2_s2d(w) -> jnp.ndarray:
+    """[7, 7, C, F] → [4, 4, 4C, F]: both-axes stem folding (1.31x nominal
+    FLOPs at 4C channel width). Channel layout matches space_to_depth's
+    (py, px, c). Traceable."""
+    w = jnp.asarray(w)
+    c, f = w.shape[2], w.shape[3]
+    m = jnp.asarray(_FOLD_MAP_STEM_H, w.dtype)
+    wf = jnp.einsum("tpy,sqx,yxcf->tspqcf", m, m, w)
+    return wf.reshape(4, 4, 4 * c, f)
+
+
+def conv7x7s2_s2d(x_s2d: jnp.ndarray, w_folded: jnp.ndarray,
+                  preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """[B, H/2, W/2, 4C] x [4, 4, 4C, F] → [B, H/2, W/2, F]. Exactly equals
+    the SAME-padded 7x7 stride-2 stem conv on the unfolded input."""
+    return jax.lax.conv_general_dilated(
+        x_s2d, w_folded,
+        window_strides=(1, 1), padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type,
+    )
+
+
 def conv3x3_s2d_4phase(x_s2d: jnp.ndarray, folded_phases,
                        preferred_element_type=jnp.float32) -> jnp.ndarray:
     """Apply the four per-phase folded convs and interleave outputs into the

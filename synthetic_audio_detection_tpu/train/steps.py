@@ -190,6 +190,7 @@ def make_train_step(
     sample_rate: int = 32_000,
     from_waveforms: bool = True,
     reference_quirk_loss: bool = False,
+    stop_grad_stage: int = 0,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -201,7 +202,18 @@ def make_train_step(
     `model(inputs)` returns the POOLED BACKBONE FEATURES and the CE loss at
     submodel_trainer.py:263 treats the num_features-dim feature vector as
     class scores for targets {0, 1} — the custom head is never in the loss.
-    Default False (the sane head-in-the-loss path, per SURVEY.md §7.3)."""
+    Default False (the sane head-in-the-loss path, per SURVEY.md §7.3).
+
+    stop_grad_stage > 0 stops gradients on the activation entering that
+    backbone stage (models/resnet.py:ResNet.stop_grad_stage), skipping the
+    backward pass through stages the freeze mask zeroes anyway. The caller is
+    responsible for keeping it consistent with the freeze phase (4 for the
+    phase-1 mask, 3 after layer3 unfreezes) — the Trainer rebuilds the step at
+    the transition. Updates are identical to the masked-only path; the frozen
+    stages' backward work is simply never emitted."""
+
+    if stop_grad_stage:
+        model = model.clone(stop_grad_stage=stop_grad_stage)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         rng_mask, rng_drop = jax.random.split(rng)
@@ -219,7 +231,8 @@ def make_train_step(
                 from synthetic_audio_detection_tpu.models.resnet import create_resnet
 
                 base = create_resnet(model.backbone, model.in_channels,
-                                     model.dtype, module_name="base")
+                                     model.dtype, module_name="base",
+                                     stop_grad_stage=stop_grad_stage)
                 feats, mutated = base.apply(
                     {"params": params["base"],
                      "batch_stats": state.batch_stats["base"]},

@@ -113,13 +113,8 @@ class Trainer:
 
         self._orbax = None
         self.mesh = sh.create_mesh() if use_mesh and jax.device_count() > 1 else None
-        self._train_step = jax.jit(
-            steps.make_train_step(
-                self.model, self.tx, cfg, self.spec_cfg, self.augment,
-                reference_quirk_loss=reference_quirk_loss,
-            ),
-            donate_argnums=(0,),
-        )
+        self._reference_quirk_loss = reference_quirk_loss
+        self._train_step = self._build_train_step()
         self._eval_step = jax.jit(
             steps.make_eval_step(self.model, self.spec_cfg)
         )
@@ -129,6 +124,25 @@ class Trainer:
 
         if cfg.resume:
             self.resume(cfg.resume)
+
+    def _build_train_step(self):
+        """(Re)build the jitted step for the current freeze phase. With
+        stop_grad_boundary, the backward pass stops at the trainable frontier
+        (stage 4, then stage 3 after the epochs//3 unfreeze) — the frozen
+        stages' backward work is DCE'd instead of masked to zero, so the
+        step recompiles once at the transition (and once on a phase-2
+        resume)."""
+        stage = 0
+        if self.cfg.stop_grad_boundary:
+            stage = 3 if self.layer3_unfrozen else 4
+        return jax.jit(
+            steps.make_train_step(
+                self.model, self.tx, self.cfg, self.spec_cfg, self.augment,
+                reference_quirk_loss=self._reference_quirk_loss,
+                stop_grad_stage=stage,
+            ),
+            donate_argnums=(0,),
+        )
 
     # -- checkpointing -------------------------------------------------------
 
@@ -221,6 +235,7 @@ class Trainer:
             if extras.get("layer3_unfrozen"):
                 self.state = steps.unfreeze_layer3(self.state)
                 self.layer3_unfrozen = True
+                self._train_step = self._build_train_step()
             log.warning(
                 "torch-ckpt resume: optimizer moments not restored "
                 "(torch AdamW state has no optax mapping); params/batch_stats/"
@@ -248,6 +263,7 @@ class Trainer:
         if meta.get("layer3_unfrozen"):
             self.state = steps.unfreeze_layer3(self.state)
             self.layer3_unfrozen = True
+            self._train_step = self._build_train_step()
         log.info("resumed at epoch %d (best_acc %.4f)", self.start_epoch, self.best_acc)
 
     # -- epochs ---------------------------------------------------------------
@@ -347,6 +363,9 @@ class Trainer:
             if epoch >= unfreeze_epoch and not self.layer3_unfrozen:
                 self.state = steps.unfreeze_layer3(self.state)
                 self.layer3_unfrozen = True
+                # move the gradient-stop boundary down to layer3 (one-time
+                # recompile; same params/opt state, so donation is safe)
+                self._train_step = self._build_train_step()
                 log.info("epoch %d: unfroze layer3 (epochs//3 schedule)", epoch)
 
             tr = self.train_epoch(train_batcher, epoch)

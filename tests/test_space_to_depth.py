@@ -208,3 +208,61 @@ def test_flax_s2d_stage1_gradients_exact_f64(rng):
                 nb = np.asarray(gb[blk][cv]["kernel"])
                 rel = np.linalg.norm(nb - na) / (np.linalg.norm(na) + 1e-300)
                 assert rel < 1e-10, (blk, cv, rel)
+
+
+def test_stem_h_folding_matches_direct(rng):
+    # 7x7/2 SAME stem conv == H-folded [4,7,2C,F] conv on s2d_h input
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv7x7s2_s2d_h,
+        fold_conv7x7s2_s2d_h,
+        space_to_depth_h,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((7, 7, 3, 8)) * 0.1).astype(np.float32))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32))
+    got = np.asarray(conv7x7s2_s2d_h(
+        space_to_depth_h(x), fold_conv7x7s2_s2d_h(w)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_stem_full_folding_matches_direct(rng):
+    from synthetic_audio_detection_tpu.ops.space_to_depth import (
+        conv7x7s2_s2d,
+        fold_conv7x7s2_s2d,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((7, 7, 3, 8)) * 0.1).astype(np.float32))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32))
+    got = np.asarray(conv7x7s2_s2d(
+        space_to_depth(x), fold_conv7x7s2_s2d(w)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fast_backbone_s2d_stem_matches_plain(rng):
+    # end-to-end through the functional fast backbone (f32 on CPU)
+    from synthetic_audio_detection_tpu.models.classifier import (
+        BinaryClassifier,
+        init_classifier,
+    )
+    from synthetic_audio_detection_tpu.models.fast_resnet import (
+        fast_backbone_apply,
+    )
+
+    model = BinaryClassifier()
+    variables = init_classifier(model, jax.random.PRNGKey(0), input_size=64)
+    bp, bs = variables["params"]["base"], variables["batch_stats"]["base"]
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    ref = np.asarray(fast_backbone_apply(bp, bs, x, dtype=jnp.float32))
+    for mode in ("h", "full"):
+        got = np.asarray(fast_backbone_apply(bp, bs, x, dtype=jnp.float32,
+                                             s2d_stem=mode))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"s2d_stem={mode}")
