@@ -32,6 +32,11 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=16,
                    help="segment rows per step")
     p.add_argument("--input-size", type=int, default=512)
+    p.add_argument("--stop-grad", type=int, default=4, choices=(0, 3, 4),
+                   help="Freeze-boundary gradient stop stage: 4 = phase-1 "
+                   "production default (backward only through layer4+head), "
+                   "3 = post-unfreeze phase, 0 = full backward (round-1 "
+                   "measurement mode)")
     args = p.parse_args()
 
     from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
@@ -48,8 +53,11 @@ def main() -> None:
     state, tx = steps.create_train_state(
         model, jax.random.PRNGKey(0), cfg, input_size=args.input_size
     )
+    if args.stop_grad == 3:
+        state = steps.unfreeze_layer3(state)
     train_step = steps.make_train_step(
-        model, tx, cfg, spec, SpecAugmentConfig()
+        model, tx, cfg, spec, SpecAugmentConfig(),
+        stop_grad_stage=args.stop_grad,
     )
 
     rng = np.random.default_rng(0)
@@ -85,6 +93,7 @@ def main() -> None:
     hours_per_90m = 90e6 / rows_per_sec / 3600
     print(json.dumps({
         "backbone": args.backbone,
+        "stop_grad": args.stop_grad,
         "batch_rows": args.batch,
         "input_size": args.input_size,
         "ms_per_step": round(per_step * 1e3, 2),

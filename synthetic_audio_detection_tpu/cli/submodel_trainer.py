@@ -85,9 +85,18 @@ def setup_logging(checkpoint_dir: str) -> None:
 
 
 def _resolve_s2d(args) -> bool:
-    """Auto-enable the s2d stage 1 in its measured-positive regime."""
+    """Auto-enable the s2d stage 1 in its measured-positive regime.
+
+    The +13% s2d train-step win was measured on the FULL-backward step
+    (round-2, pre-stop-grad). With the stop-grad freeze boundary on (now the
+    default — 3.8x the step rate), layer1's backward is skipped entirely and
+    s2d measured slightly NEGATIVE (2001 vs 1974 rows/s at batch 32, 512²,
+    benchmarks/train_ab.py sg vs sg-s2d), so auto only engages when the
+    boundary is disabled."""
     if args.s2d_layer1 is not None:
         return args.s2d_layer1
+    if args.stop_grad_boundary:
+        return False
     import jax
 
     return (

@@ -64,3 +64,27 @@ def test_required_flags_enforced():
     )
     assert res.returncode == 2
     assert "required" in res.stderr
+
+
+def test_train_s2d_autogate_defers_to_stop_grad_boundary():
+    """With the stop-grad freeze boundary on (default), layer1's backward is
+    skipped and the s2d fold measured slightly negative (train_ab.py sg vs
+    sg-s2d) — auto mode must not engage it; explicit --s2d-layer1 still wins."""
+    from synthetic_audio_detection_tpu.cli.submodel_trainer import (
+        _resolve_s2d,
+        build_parser,
+    )
+
+    p = build_parser()
+    auto_default = p.parse_args(["--data-dir", "x"])
+    assert auto_default.stop_grad_boundary is True
+    assert _resolve_s2d(auto_default) is False
+
+    explicit = p.parse_args(["--data-dir", "x", "--s2d-layer1"])
+    assert _resolve_s2d(explicit) is True
+
+    no_sg = p.parse_args(["--data-dir", "x", "--no-stop-grad-boundary"])
+    assert no_sg.stop_grad_boundary is False
+    # auto in the no-boundary regime depends on the backend; just ensure it
+    # doesn't raise and returns a bool
+    assert _resolve_s2d(no_sg) in (True, False)
