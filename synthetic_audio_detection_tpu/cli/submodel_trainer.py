@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("threads", "grain"),
                    help="Input pipeline: thread pool (default) or grain "
                    "worker processes")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute in the train step (params/optimizer/"
+                   "loss stay float32). ~MXU-rate convs on TPU; the reference "
+                   "trains in f32, so this is opt-in.")
     p.add_argument("--stop-grad-boundary", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="Stop gradients at the freeze boundary so the frozen "
@@ -127,6 +131,7 @@ def main(argv=None) -> int:
         data_backend=args.data_backend,
         s2d_stage1=_resolve_s2d(args),
         stop_grad_boundary=args.stop_grad_boundary,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 

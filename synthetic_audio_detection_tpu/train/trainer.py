@@ -98,6 +98,8 @@ class Trainer:
         self.model = BinaryClassifier(
             backbone=model_name, num_outputs=len(self.class_names),
             s2d_stage1=cfg.s2d_stage1,
+            dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp.float32),
         )
         self.model_name = model_name
 

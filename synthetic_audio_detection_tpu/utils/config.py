@@ -156,6 +156,12 @@ class TrainConfig:
     # updates; large measured step speedup (train/steps.py docstring). The
     # step recompiles once at the unfreeze transition.
     stop_grad_boundary: bool = True
+    # Model COMPUTE dtype for the train step ('float32'|'bfloat16'). Params,
+    # optimizer state, loss, and BN statistics stay float32 either way
+    # (flax promotes); bfloat16 engages the MXU's full rate on TPU. The
+    # reference trains in f32 (its AMP precedent is legacy inference,
+    # inference_script.py:278), so f32 stays the default.
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

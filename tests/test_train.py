@@ -374,3 +374,33 @@ def test_epoch_mean_feeds_scheduler_not_sampled_loss():
 
     out = t.train_epoch(FakeBatcher(), 0)
     assert out["loss"] == pytest.approx(2.0)  # mean of 1,2,3; nan excluded
+
+
+def test_bf16_compute_train_step_keeps_f32_state():
+    """--bf16 trains with bfloat16 compute but float32 params/opt/loss
+    (mixed precision; the reference's reduced-precision precedent is legacy
+    inference AMP, inference_script.py:278)."""
+    import jax.numpy as jnp
+
+    from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+    from synthetic_audio_detection_tpu.train import steps
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpecAugmentConfig,
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    cfg = TrainConfig(batch_size=2, lr=1e-3, compute_dtype="bfloat16")
+    model = BinaryClassifier(backbone="resnet18", dtype=jnp.bfloat16)
+    state, tx = steps.create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                         input_size=64)
+    step = jax.jit(steps.make_train_step(
+        model, tx, cfg, SpectrogramConfig(out_size=64), SpecAugmentConfig(),
+        stop_grad_stage=4))
+    new_state, m = step(state, _batch(), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        assert leaf.dtype == jnp.float32
+    old = np.asarray(jax.tree_util.tree_leaves(state.params["head"])[0])
+    new = np.asarray(jax.tree_util.tree_leaves(new_state.params["head"])[0])
+    assert not np.allclose(old, new)
