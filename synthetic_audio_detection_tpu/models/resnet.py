@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # stage depths per variant: every timm `resnet*` name with the VANILLA
@@ -213,8 +214,6 @@ class ResNet(nn.Module):
         in_planes = 64
         for stage_idx, n_blocks in enumerate(self.stage_sizes):
             if train and self.stop_grad_stage == stage_idx + 1:
-                import jax
-
                 x = jax.lax.stop_gradient(x)
             if (
                 stage_idx == 0 and self.s2d_stage1 and self.block == "basic"
