@@ -66,6 +66,22 @@ def pallas_conv(x, w, scale, bias):
     return conv3x3_bn_relu(x, w, scale[0, 0, 0], bias[0, 0, 0], 1, True)
 
 
+def pallasflat_conv(x, w, scale, bias):
+    from synthetic_audio_detection_tpu.ops.pallas_conv_flat import (
+        conv3x3_bn_relu_flat,
+    )
+
+    return conv3x3_bn_relu_flat(x, w, scale[0, 0, 0], bias[0, 0, 0])
+
+
+def pallasfs_conv(x, w, scale, bias):
+    from synthetic_audio_detection_tpu.ops.pallas_conv_flat import (
+        conv3x3_bn_relu_flat_static,
+    )
+
+    return conv3x3_bn_relu_flat_static(x, w, scale[0, 0, 0], bias[0, 0, 0])
+
+
 def pallas_conv_nokpack(x, w, scale, bias):
     return conv3x3_bn_relu(x, w, scale[0, 0, 0], bias[0, 0, 0], 1, True,
                            k_pack=False)
@@ -272,7 +288,8 @@ def main():
                    default=["lax", "gemm", "pallas"],
                    choices=["lax", "gemm", "pallas", "s2d", "s2d4", "s2dm",
                             "s2dh", "tile4", "tile2h", "int8pure", "int8dynq",
-                            "chunk16", "chunk32", "chunk64"])
+                            "chunk16", "chunk32", "chunk64", "pallasflat",
+                            "pallasnk", "pallasfs"])
     p.add_argument("--shapes", nargs="*",
                    default=[s[0] for s in SHAPES],
                    choices=[s[0] for s in SHAPES])
@@ -318,7 +335,10 @@ def main():
                     fn = {"lax": lax_conv, "gemm": gemm_conv,
                           "pallas": pallas_conv, "tile4": tile4_conv,
                           "tile2h": tile2h_conv, "chunk16": chunk16_conv,
-                          "chunk32": chunk32_conv, "chunk64": chunk64_conv}[label]
+                          "chunk32": chunk32_conv, "chunk64": chunk64_conv,
+                          "pallasflat": pallasflat_conv,
+                          "pallasnk": pallas_conv_nokpack,
+                          "pallasfs": pallasfs_conv}[label]
                     t = timed_loop(fn, x, w, scale, bias)
                 row[f"{label}_ms"] = round(t * 1e3, 3)
                 row[f"{label}_tflops"] = round(gflop / t / 1e3, 1)

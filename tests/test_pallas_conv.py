@@ -36,3 +36,29 @@ def test_conv3x3_matches_lax(rng, stride, relu, k_pack):
                           scale, bias, stride, relu))
     assert got.shape == ref.shape == (B, H // stride, W // stride, F)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("shape,k_pack", [
+    ((2, 16, 14, 8, 8), False),
+    ((2, 16, 14, 8, 8), True),
+    ((1, 32, 32, 64, 64), True),  # layer1-like channel width
+])
+def test_flat_conv_matches_lax(rng, shape, k_pack):
+    """Flat-2D tap-matmul formulation (ops/pallas_conv_flat.py): the
+    junk-column slicing and guard offsets must reproduce lax exactly."""
+    from synthetic_audio_detection_tpu.ops.pallas_conv_flat import (
+        conv3x3_bn_relu_flat,
+    )
+
+    B, H, W, C, F = shape
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, F)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, F).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(F).astype(np.float32) * 0.1)
+    got = np.asarray(conv3x3_bn_relu_flat(
+        x, w, scale, bias, interpret=True, k_pack=k_pack)).astype(np.float32)
+    ref = np.asarray(_ref(x.astype(jnp.bfloat16).astype(jnp.float32),
+                          w.astype(jnp.bfloat16).astype(jnp.float32),
+                          scale, bias, 1, True))
+    assert got.shape == ref.shape == (B, H, W, F)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
