@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (TPU fast path)")
+    p.add_argument("--input-size", type=int, default=512,
+                   help="Spectrogram image size. 512 = reference fidelity; "
+                   "256 = the documented fast mode (~3x the throughput on "
+                   "TPU at reduced fidelity — docs/PERFORMANCE.md)")
     return p
 
 
@@ -75,7 +79,7 @@ def main(argv=None) -> int:
     pipeline = InferencePipeline(
         ensemble,
         audio=AudioConfig(overlap=args.overlap, silence_threshold=1e-3),
-        spec=SpectrogramConfig.inference(),
+        spec=SpectrogramConfig.inference(out_size=args.input_size),
         infer=InferenceConfig(
             threshold=args.threshold,
             confidence_threshold=args.confidence_threshold,

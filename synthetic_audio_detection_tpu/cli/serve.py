@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap", type=float, default=0.0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--input-size", type=int, default=512,
+                   help="Spectrogram image size: 512 = reference fidelity, "
+                   "256 = the fast mode (docs/PERFORMANCE.md)")
     return p
 
 
@@ -50,7 +53,7 @@ def main(argv=None) -> int:
     pipeline = InferencePipeline(
         ensemble,
         audio=AudioConfig(overlap=args.overlap),
-        spec=SpectrogramConfig.inference(),
+        spec=SpectrogramConfig.inference(out_size=args.input_size),
         infer=InferenceConfig(threshold=args.threshold,
                               batch_size=args.batch_size),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

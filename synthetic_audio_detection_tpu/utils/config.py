@@ -90,8 +90,10 @@ class SpectrogramConfig:
         return SpectrogramConfig(mel_norm=None)
 
     @staticmethod
-    def inference() -> "SpectrogramConfig":
-        return SpectrogramConfig(mel_norm="slaney")
+    def inference(out_size: int = 512) -> "SpectrogramConfig":
+        # out_size 512 = reference fidelity (inference_runner.py:172);
+        # 256 = the documented fast mode (docs/PERFORMANCE.md)
+        return SpectrogramConfig(mel_norm="slaney", out_size=out_size)
 
 
 @dataclass(frozen=True)
