@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Spectrogram image size. 512 = reference fidelity; "
                    "256 = the documented fast mode (~3x the throughput on "
                    "TPU at reduced fidelity — docs/PERFORMANCE.md)")
+    p.add_argument("--per-head-diagnostics", action="store_true",
+                   help="Log each window's per-head [real, synthetic] "
+                   "sigmoids (the pre-aggregation outputs the [B, N+1] "
+                   "collapse hides) — debugging aid for one-vs-rest "
+                   "attribution confusions. Output JSON is unchanged.")
     return p
 
 
@@ -89,6 +94,22 @@ def main(argv=None) -> int:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     result = pipeline.analyze_file(args.audio, smooth=args.smooth)
+    if args.per_head_diagnostics:
+        from synthetic_audio_detection_tpu.infer.pipeline import (
+            preprocess_waveform,
+            slice_waveform,
+        )
+
+        wf = preprocess_waveform(args.audio, pipeline.audio)
+        windows, stamps = slice_waveform(wf, pipeline.audio)
+        probs = pipeline.per_head_sigmoids(windows)  # [num, N, 2]
+        names = ensemble.synthetic_names
+        for (s, e), row in zip(stamps, probs):
+            cells = ", ".join(
+                f"{n}: real={row[i][0]:.3f} syn={row[i][1]:.3f}"
+                for i, n in enumerate(names)
+            )
+            logging.info("per-head %6.2f-%6.2fs  %s", s, e, cells)
     payload = result_json(os.path.basename(args.audio), result)
     with open(args.output_json, "w") as f:
         f.write(payload)

@@ -165,8 +165,15 @@ def _aggregate(logits_nh: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([syn, real_mean], axis=1)
 
 
-def ensemble_forward(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, H, W, C] NHWC images → [B, N+1] logits. Jit-friendly."""
+def ensemble_per_head_logits(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, W, C] → PER-HEAD logits [N, B, 2] (pre-aggregation).
+
+    Diagnostic surface: the reference's aggregation (model_merger.py:75-91)
+    collapses per-head real logits into their mean, which makes one-vs-rest
+    attribution confusions invisible (a foreign synthetic class can trigger
+    several heads and the argmax rule picks the wrong attacker — measured in
+    docs/PERFORMANCE.md's accuracy study). This exposes the raw per-head
+    pairs so production debugging can see WHICH head fired."""
     if ens.shared_backbone:
         # one backbone pass + vmapped heads
         from synthetic_audio_detection_tpu.models.resnet import create_resnet
@@ -203,7 +210,12 @@ def ensemble_forward(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndarray:
             logits_nh = jax.lax.map(lambda v: sub_fwd(v, x), ens.variables)
         else:
             logits_nh = jax.vmap(sub_fwd, in_axes=(0, None))(ens.variables, x)
-    return _aggregate(logits_nh)
+    return logits_nh
+
+
+def ensemble_forward(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, W, C] NHWC images → [B, N+1] logits. Jit-friendly."""
+    return _aggregate(ensemble_per_head_logits(ens, x))
 
 
 # ---------------------------------------------------------------------------

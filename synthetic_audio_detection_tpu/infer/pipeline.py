@@ -337,6 +337,44 @@ class InferencePipeline:
             i += take
         return np.concatenate(out, axis=0)
 
+    # -- diagnostics --------------------------------------------------------
+
+    def per_head_sigmoids(self, windows: np.ndarray) -> np.ndarray:
+        """[num, T] → [num, N, 2] per-head sigmoids (columns: [real, syn] per
+        ensemble.multihead REAL_INDEX/SYNTHETIC_INDEX order). A separate
+        (lazily-compiled) program from the serving path — only pay its
+        compile when diagnostics are requested. Exposes the pre-aggregation
+        head outputs the reference's [B, N+1] collapse hides (see
+        ensemble_per_head_logits)."""
+        from synthetic_audio_detection_tpu.ensemble.multihead import (
+            ensemble_per_head_logits,
+        )
+
+        if windows.shape[0] == 0:
+            return np.zeros((0, self.ensemble.num_heads, 2), np.float32)
+        if getattr(self, "_jit_per_head", None) is None:
+            spec, sr = self.spec, self.audio.sample_rate
+
+            def fwd(variables, w):
+                if jnp.issubdtype(w.dtype, jnp.integer):
+                    w = w.astype(jnp.float32) / 32768.0
+                feats = melspec.log_mel_features(
+                    w, spec, sr, use_gemm_dft=self.use_gemm_dft,
+                    out_dtype=self.compute_dtype,
+                )
+                x = melspec.replicate_channels(feats, spec.out_channels)
+                ens = dataclasses.replace(self.ensemble, variables=variables)
+                return ensemble_per_head_logits(ens, x)  # [N, B, 2]
+
+            self._jit_per_head = jax.jit(fwd)
+        logits_nb2 = np.asarray(
+            self._jit_per_head(self.ensemble.variables,
+                               jnp.asarray(windows.astype(np.float32))),
+            np.float32,
+        )
+        probs = 1.0 / (1.0 + np.exp(-logits_nb2))
+        return probs.transpose(1, 0, 2)  # [B, N, 2]
+
     # -- full clip ----------------------------------------------------------
 
     def analyze_file(self, path: str, smooth: Optional[bool] = None) -> Dict[str, Any]:

@@ -205,3 +205,23 @@ def test_fast_backbone_and_s2d_autogates(tiny_pipeline, monkeypatch):
     )
     assert p_f32.use_fast_backbone is False
     assert p_f32.use_s2d_layer1 is False
+
+
+def test_per_head_sigmoids_consistent_with_aggregate(tiny_pipeline):
+    """Diagnostic per-head sigmoids must be the pre-aggregation view of the
+    serving output: sigmoid(agg syn_k) == per-head syn_k, and the aggregate
+    real logit is the mean of per-head real logits."""
+    rng = np.random.default_rng(0)
+    windows = (rng.standard_normal((3, 128_000)) * 0.2).astype(np.float32)
+    probs = tiny_pipeline.per_head_sigmoids(windows)  # [3, N, 2]
+    assert probs.shape == (3, tiny_pipeline.ensemble.num_heads, 2)
+    logits = tiny_pipeline.logits_for_windows(windows)  # [3, N+1]
+    agg_sig = 1.0 / (1.0 + np.exp(-logits))
+    n = tiny_pipeline.ensemble.num_heads
+    # syn columns match per-head synthetic sigmoids
+    np.testing.assert_allclose(agg_sig[:, :n], probs[:, :, 1],
+                               rtol=1e-4, atol=1e-4)
+    # aggregate real = sigmoid(mean of per-head real logits)
+    per_head_real_logits = np.log(probs[:, :, 0] / (1 - probs[:, :, 0]))
+    expect = 1.0 / (1.0 + np.exp(-per_head_real_logits.mean(axis=1)))
+    np.testing.assert_allclose(agg_sig[:, n], expect, rtol=1e-3, atol=1e-3)
