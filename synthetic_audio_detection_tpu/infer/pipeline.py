@@ -288,6 +288,7 @@ class InferencePipeline:
             use_fast_backbone=self.use_fast_backbone,
         )
         self._jit_fwd = jax.jit(fwd, donate_argnums=(1,) if donate_windows else ())
+        self._jit_per_head = None  # lazily built by per_head_sigmoids()
 
     # -- bucketing ----------------------------------------------------------
 
@@ -352,7 +353,7 @@ class InferencePipeline:
 
         if windows.shape[0] == 0:
             return np.zeros((0, self.ensemble.num_heads, 2), np.float32)
-        if getattr(self, "_jit_per_head", None) is None:
+        if self._jit_per_head is None:
             spec, sr = self.spec, self.audio.sample_rate
 
             def fwd(variables, w):
