@@ -346,7 +346,9 @@ class InferencePipeline:
         (lazily-compiled) program from the serving path — only pay its
         compile when diagnostics are requested. Exposes the pre-aggregation
         head outputs the reference's [B, N+1] collapse hides (see
-        ensemble_per_head_logits)."""
+        ensemble_per_head_logits). Always uses the jnp mel front end and the
+        plain ensemble forward, so values can differ from a Pallas/bf16
+        serving pipeline's at reduced-precision tolerance."""
         from synthetic_audio_detection_tpu.ensemble.multihead import (
             ensemble_per_head_logits,
         )
