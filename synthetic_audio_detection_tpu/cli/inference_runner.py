@@ -25,7 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--merged-model", type=str, required=True,
                    help="Path to merged .pth (or native .msgpack) checkpoint")
-    p.add_argument("--audio", type=str, required=True, help="Path to WAV file")
+    p.add_argument("--audio", type=str, help="Path to WAV file")
+    p.add_argument("--audio-dir", type=str,
+                   help="Folder mode (the legacy analyzer's --IsBatch "
+                   "precedent, inference_script.py:428-451): analyze every "
+                   "audio file in the directory through ONE warm compiled "
+                   "pipeline; writes <stem>.json per file into --output-json "
+                   "(treated as a directory). Mutually exclusive with "
+                   "--audio.")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="Threshold for deciding Real vs Synthetic")
     p.add_argument("--device", type=str, default="tpu",
@@ -56,7 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if bool(args.audio) == bool(args.audio_dir):
+        parser.error("exactly one of --audio / --audio-dir is required")
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
 
     import jax.numpy as jnp
@@ -93,24 +103,56 @@ def main(argv=None) -> int:
         ),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    result = pipeline.analyze_file(args.audio, smooth=args.smooth)
-    if args.per_head_diagnostics:
-        from synthetic_audio_detection_tpu.infer.pipeline import (
-            preprocess_waveform,
-            slice_waveform,
-        )
-
-        wf = preprocess_waveform(args.audio, pipeline.audio)
-        windows, stamps = slice_waveform(wf, pipeline.audio)
-        probs = pipeline.per_head_sigmoids(windows)  # [num, N, 2]
-        names = ensemble.synthetic_names
-        for (s, e), row in zip(stamps, probs):
-            cells = ", ".join(
-                f"{n}: real={row[i][0]:.3f} syn={row[i][1]:.3f}"
-                for i, n in enumerate(names)
+    def run_one(audio_path: str) -> str:
+        result = pipeline.analyze_file(audio_path, smooth=args.smooth)
+        if args.per_head_diagnostics:
+            from synthetic_audio_detection_tpu.infer.pipeline import (
+                preprocess_waveform,
+                slice_waveform,
             )
-            logging.info("per-head %6.2f-%6.2fs  %s", s, e, cells)
-    payload = result_json(os.path.basename(args.audio), result)
+
+            wf = preprocess_waveform(audio_path, pipeline.audio)
+            windows, stamps = slice_waveform(wf, pipeline.audio)
+            probs = pipeline.per_head_sigmoids(windows)  # [num, N, 2]
+            names = ensemble.synthetic_names
+            for (s, e), row in zip(stamps, probs):
+                cells = ", ".join(
+                    f"{n}: real={row[i][0]:.3f} syn={row[i][1]:.3f}"
+                    for i, n in enumerate(names)
+                )
+                logging.info("per-head %6.2f-%6.2fs  %s", s, e, cells)
+        return result_json(os.path.basename(audio_path), result)
+
+    if args.audio_dir:
+        # folder mode: one warm pipeline across all files (the per-file CLI
+        # alternative pays model load + compile per process)
+        exts = (".wav", ".mp3", ".flac", ".ogg", ".aac", ".wma", ".opus")
+        files = sorted(
+            f for f in os.listdir(args.audio_dir)
+            if f.lower().endswith(exts)
+        )
+        if not files:
+            logging.warning("no audio files in %s", args.audio_dir)
+        os.makedirs(args.output_json, exist_ok=True)
+        failed = 0
+        for name in files:
+            try:
+                payload = run_one(os.path.join(args.audio_dir, name))
+            except Exception as e:  # noqa: BLE001 - per-file isolation,
+                # reported not swallowed (unlike the reference's silent skips)
+                logging.error("FAILED %s: %r", name, e)
+                failed += 1
+                continue
+            out = os.path.join(
+                args.output_json, os.path.splitext(name)[0] + ".json")
+            with open(out, "w") as f:
+                f.write(payload)
+            logging.info("wrote %s", out)
+        print(f"Analyzed {len(files) - failed}/{len(files)} files -> "
+              f"{args.output_json}")
+        return 1 if failed else 0
+
+    payload = run_one(args.audio)
     with open(args.output_json, "w") as f:
         f.write(payload)
     print(payload)

@@ -88,3 +88,17 @@ def test_train_s2d_autogate_defers_to_stop_grad_boundary():
     # auto in the no-boundary regime depends on the backend; just ensure it
     # doesn't raise and returns a bool
     assert _resolve_s2d(no_sg) in (True, False)
+
+
+def test_inference_runner_audio_dir_exclusivity():
+    """Folder mode (--audio-dir) and single-file mode (--audio) are mutually
+    exclusive and one is required (the legacy --IsBatch precedent brought to
+    the modular CLI)."""
+    res = subprocess.run(
+        [sys.executable, "-m",
+         "synthetic_audio_detection_tpu.cli.inference_runner",
+         "--merged-model", "x.pth"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 2
+    assert "exactly one of --audio / --audio-dir" in res.stderr
