@@ -11,6 +11,8 @@ API:
     GET  /healthz            → {"status": "ok", "classes": [...]}
     POST /analyze            → body: WAV bytes (Content-Type: audio/wav)
                                query: ?smooth=1&filename=clip.wav
+                                      [&per_head=1 → adds "per_head": per-
+                                      window [head][real, syn] sigmoids]
                                → the reference JSON schema
                                  {filename, segments[], percentages{}}
     POST /analyze_batch      → body: JSON {"files": {"name": <base64 wav>, ...}}
@@ -46,7 +48,8 @@ class ServingState:
         self.pipeline = pipeline
         self.lock = threading.Lock()
 
-    def analyze_wav_bytes(self, data: bytes, smooth: bool) -> Dict[str, Any]:
+    def analyze_wav_bytes(self, data: bytes, smooth: bool,
+                          per_head: bool = False) -> Dict[str, Any]:
         wf, sr = wavio.read_wav_bytes(data)
         mono = wf.mean(axis=0)
         audio_cfg = self.pipeline.audio
@@ -56,7 +59,16 @@ class ServingState:
             mono = np.pad(mono, (0, audio_cfg.window_samples - mono.shape[0]))
         windows, stamps = slice_waveform(mono.astype(np.float32), audio_cfg)
         with self.lock:  # device dispatch is serialized
-            return self.pipeline.analyze_windows(windows, stamps, smooth=smooth)
+            result = self.pipeline.analyze_windows(windows, stamps, smooth=smooth)
+            if per_head:
+                # opt-in pre-aggregation view (see pipeline.per_head_sigmoids);
+                # added under a NEW key so the reference schema stays intact
+                probs = self.pipeline.per_head_sigmoids(windows)
+                result["per_head"] = [
+                    [[round(float(p), 4) for p in head] for head in window]
+                    for window in probs
+                ]
+        return result
 
     def warmup(self) -> None:
         """Compile both serving buckets (short-clip and full-batch) so no
@@ -99,8 +111,9 @@ def make_handler(state: ServingState):
                 if parsed.path == "/analyze":
                     q = parse_qs(parsed.query)
                     smooth = q.get("smooth", ["0"])[0] in ("1", "true")
+                    per_head = q.get("per_head", ["0"])[0] in ("1", "true")
                     name = q.get("filename", ["audio.wav"])[0]
-                    result = state.analyze_wav_bytes(data, smooth)
+                    result = state.analyze_wav_bytes(data, smooth, per_head)
                     self._send(200, {"filename": name, **result})
                 elif parsed.path == "/analyze_batch":
                     req = json.loads(data)

@@ -102,3 +102,30 @@ def test_analyze_batch_and_error_isolation(server_url):
     assert exc.value.code == 400
     with urllib.request.urlopen(f"{server_url}/healthz", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+def test_analyze_per_head_diagnostics(server_url):
+    """?per_head=1 adds pre-aggregation [head][real, syn] sigmoids under a
+    NEW key (the reference schema keys are unchanged); absent without it."""
+    data = _wav_bytes()
+    req = urllib.request.Request(
+        f"{server_url}/analyze?filename=x.wav&per_head=1", data=data,
+        method="POST", headers={"Content-Type": "audio/wav"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert set(body) == {"filename", "segments", "percentages", "per_head"}
+    assert len(body["per_head"]) == len(body["segments"]) == 1
+    window = body["per_head"][0]
+    assert len(window) == 2  # two heads
+    for head in window:
+        assert len(head) == 2
+        assert all(0.0 <= v <= 1.0 for v in head)
+
+    req2 = urllib.request.Request(
+        f"{server_url}/analyze?filename=x.wav", data=data, method="POST",
+        headers={"Content-Type": "audio/wav"},
+    )
+    with urllib.request.urlopen(req2, timeout=120) as r:
+        body2 = json.loads(r.read())
+    assert "per_head" not in body2
