@@ -50,15 +50,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (TPU fast path)")
-    p.add_argument("--input-size", type=int, default=512,
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+
+    p.add_argument("--input-size", type=parse_input_size, default=512,
                    help="Spectrogram image size. 512 = reference fidelity; "
-                   "256 = the documented fast mode (~3x the throughput on "
-                   "TPU at reduced fidelity — docs/PERFORMANCE.md)")
+                   "256 = the documented fast mode; 'native' = the mel's "
+                   "true 128-by-frames resolution, no resize (serve models "
+                   "TRAINED at the matching size — docs/PERFORMANCE.md)")
     p.add_argument("--per-head-diagnostics", action="store_true",
                    help="Log each window's per-head [real, synthetic] "
                    "sigmoids (the pre-aggregation outputs the [B, N+1] "
                    "collapse hides) — debugging aid for one-vs-rest "
                    "attribution confusions. Output JSON is unchanged.")
+    p.add_argument("--round-floats", action="store_true",
+                   help="Round JSON floats (3 dp timestamps, 2 dp "
+                   "percentages). Default off: the reference emits "
+                   "unrounded floats (inference_runner.py:293-349) and the "
+                   "default output is byte-faithful to it.")
     return p
 
 
@@ -100,20 +108,31 @@ def main(argv=None) -> int:
             confidence_threshold=args.confidence_threshold,
             smooth=args.smooth,
             batch_size=args.batch_size,
+            round_floats=args.round_floats,
         ),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    def run_one(audio_path: str) -> str:
-        result = pipeline.analyze_file(audio_path, smooth=args.smooth)
-        if args.per_head_diagnostics:
-            from synthetic_audio_detection_tpu.infer.pipeline import (
-                preprocess_waveform,
-                slice_waveform,
-            )
 
-            wf = preprocess_waveform(audio_path, pipeline.audio)
-            windows, stamps = slice_waveform(wf, pipeline.audio)
-            probs = pipeline.per_head_sigmoids(windows)  # [num, N, 2]
+    from synthetic_audio_detection_tpu.infer.pipeline import (
+        preprocess_waveform,
+        slice_waveform,
+    )
+
+    def run_one(audio_path: str):
+        """→ (payload_json_text, had_windows). Preprocess/slice ONCE and feed
+        both the verdict pass and the optional per-head diagnostics from the
+        same windows."""
+        wf = preprocess_waveform(audio_path, pipeline.audio)
+        windows, stamps = slice_waveform(wf, pipeline.audio)
+        if args.per_head_diagnostics and windows.shape[0]:
+            # one device program: serving logits + pre-aggregation view on
+            # the SAME numerics (pipeline.logits_and_per_head)
+            import numpy as np
+
+            logits, nh = pipeline.logits_and_per_head(windows)
+            result = pipeline.analyze_windows(
+                windows, stamps, smooth=args.smooth, logits=logits)
+            probs = 1.0 / (1.0 + np.exp(-nh))  # [num, N, 2]
             names = ensemble.synthetic_names
             for (s, e), row in zip(stamps, probs):
                 cells = ", ".join(
@@ -121,11 +140,20 @@ def main(argv=None) -> int:
                     for i, n in enumerate(names)
                 )
                 logging.info("per-head %6.2f-%6.2fs  %s", s, e, cells)
-        return result_json(os.path.basename(audio_path), result)
+        else:
+            result = pipeline.analyze_windows(
+                windows, stamps, smooth=args.smooth)
+        # filename is the path AS PASSED (reference writes args.audio
+        # verbatim, inference_runner.py:346)
+        return result_json(audio_path, result), bool(windows.shape[0])
 
     if args.audio_dir:
         # folder mode: one warm pipeline across all files (the per-file CLI
         # alternative pays model load + compile per process)
+        if os.path.exists(args.output_json) and not os.path.isdir(args.output_json):
+            parser.error(
+                f"--output-json {args.output_json!r} exists and is a file; "
+                "folder mode writes per-file JSONs into it as a directory")
         exts = (".wav", ".mp3", ".flac", ".ogg", ".aac", ".wma", ".opus")
         files = sorted(
             f for f in os.listdir(args.audio_dir)
@@ -134,27 +162,48 @@ def main(argv=None) -> int:
         if not files:
             logging.warning("no audio files in %s", args.audio_dir)
         os.makedirs(args.output_json, exist_ok=True)
+        # same-stem inputs (a.wav + a.mp3) must not overwrite each other's
+        # JSON: colliding stems keep their original extension in the name
+        stems: dict = {}
+        for name in files:
+            stems.setdefault(os.path.splitext(name)[0], []).append(name)
+
+        def out_name(name: str) -> str:
+            stem, ext = os.path.splitext(name)
+            if len(stems[stem]) > 1:
+                return f"{stem}{ext}.json"
+            return stem + ".json"
+
         failed = 0
         for name in files:
             try:
-                payload = run_one(os.path.join(args.audio_dir, name))
+                payload, _ = run_one(os.path.join(args.audio_dir, name))
             except Exception as e:  # noqa: BLE001 - per-file isolation,
                 # reported not swallowed (unlike the reference's silent skips)
                 logging.error("FAILED %s: %r", name, e)
                 failed += 1
                 continue
-            out = os.path.join(
-                args.output_json, os.path.splitext(name)[0] + ".json")
-            with open(out, "w") as f:
+            out = os.path.join(args.output_json, out_name(name))
+            with open(out, "w", encoding="utf-8") as f:
                 f.write(payload)
             logging.info("wrote %s", out)
         print(f"Analyzed {len(files) - failed}/{len(files)} files -> "
               f"{args.output_json}")
         return 1 if failed else 0
 
-    payload = run_one(args.audio)
-    with open(args.output_json, "w") as f:
+    payload, had_windows = run_one(args.audio)
+    if not had_windows:
+        # reference empty-clip behavior (inference_runner.py:264-273):
+        # console line + empty JSON, NO "Wrote results to"/payload echo
+        print("No valid audio chunks found (all below silence threshold). "
+              "Exiting.")
+        with open(args.output_json, "w", encoding="utf-8") as f:
+            f.write(payload)
+        return 0
+    with open(args.output_json, "w", encoding="utf-8") as f:
         f.write(payload)
+    # reference stdout contract (inference_runner.py:352-353)
+    print("Wrote results to", args.output_json)
     print(payload)
     return 0
 

@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--model-name", default="resnet152", type=str, choices=BACKBONES)
-    p.add_argument("--input-size", default=512, type=int)
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+
+    p.add_argument("--input-size", default=512, type=parse_input_size)
     p.add_argument("--classes", nargs="*", default=LEGACY_CLASSES,
                    help="Class folder names (default the legacy 5)")
     return p

@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap", type=float, default=0.0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
-    p.add_argument("--input-size", type=int, default=512,
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+
+    p.add_argument("--input-size", type=parse_input_size, default=512,
                    help="Spectrogram image size: 512 = reference fidelity, "
                    "256 = the fast mode (docs/PERFORMANCE.md)")
     return p

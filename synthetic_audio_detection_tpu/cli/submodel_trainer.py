@@ -45,9 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-name", default="resnet18", type=str, choices=BACKBONES)
     p.add_argument("--log-dir", default="", type=str,
                    help="TensorBoard log dir (default runs/experiment_<ts>)")
-    p.add_argument("--input-size", default=512, type=int,
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+
+    p.add_argument("--input-size", default=512, type=parse_input_size,
                    help="Spectrogram image size (512 = reference fidelity; "
-                   "smaller sizes trade accuracy for speed)")
+                   "smaller sizes trade accuracy for speed; 'native' trains "
+                   "at the mel's true 128-by-frames resolution with no "
+                   "resize — docs/PERFORMANCE.md)")
     p.add_argument("--s2d-layer1", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="Run stage 1 in exact H-only space-to-depth form "

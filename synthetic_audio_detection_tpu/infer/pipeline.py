@@ -37,8 +37,8 @@ import numpy as np
 from synthetic_audio_detection_tpu.audio import wavio
 from synthetic_audio_detection_tpu.ensemble.multihead import (
     MultiHeadEnsemble,
-    decide,
-    ensemble_forward,
+    _aggregate,
+    ensemble_per_head_logits,
     labels_from_indices,
 )
 from synthetic_audio_detection_tpu.ops import melspec
@@ -97,7 +97,11 @@ def slice_waveform(
         if np.abs(seg).max() < audio.silence_threshold:
             continue
         chunks.append(seg)
-        stamps.append((s / audio.sample_rate, (s + win) / audio.sample_rate))
+        # reference arithmetic exactly: start = start_idx / sr, end = start +
+        # window_size (inference_runner.py:190,341-343) — NOT (s + win) / sr,
+        # whose float value can differ in the last ulp and change the JSON text
+        start = s / audio.sample_rate
+        stamps.append((start, start + audio.window_seconds))
     if not chunks:
         return np.zeros((0, win), np.float32), []
     return np.stack(chunks).astype(np.float32), stamps
@@ -119,23 +123,26 @@ def _forward_windows(
     use_pallas: bool = False,
     use_s2d_layer1: bool = False,
     use_fast_backbone: bool = False,
+    return_per_head: bool = False,
 ) -> jnp.ndarray:
     """[B, T] waveform windows → [B, N+1] ensemble logits. Fully jitted:
     mel front end + channel fold + vmapped multi-head forward in one program.
     use_pallas=True routes the mel front end through the fused Pallas kernel
     (ops.pallas_melspec) — TPU only. Integer-typed windows are int16 PCM
     transport (4× less host→device traffic; exact for PCM sources) and are
-    dequantized here."""
+    dequantized here.
+
+    return_per_head=True additionally returns the PRE-aggregation per-head
+    logits [N, B, 2] from the SAME graph — the diagnostics surface shares
+    every numeric choice (front end, dtype, fast path) with the verdict it
+    explains, so aggregate(per_head) == serving logits by construction."""
     if jnp.issubdtype(windows.dtype, jnp.integer):
         windows = windows.astype(jnp.float32) / 32768.0
     if use_pallas:
         from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
 
         z = fused_log_mel(windows, spec_cfg, sample_rate)  # [B, mels, frames]
-        feats = jax.image.resize(
-            z, (z.shape[0], spec_cfg.out_size, spec_cfg.out_size),
-            method="linear",
-        ).astype(compute_dtype)
+        feats = melspec.finalize_features(z, spec_cfg).astype(compute_dtype)
     else:
         feats = melspec.log_mel_features(
             windows, spec_cfg, sample_rate, use_gemm_dft=use_gemm_dft,
@@ -162,16 +169,22 @@ def _forward_windows(
         # to apples; the flag is a no-op for bottleneck backbones or small
         # inputs (gate in models/resnet.py).
         ens = dataclasses.replace(ens, model=ens.model.clone(s2d_stage1=True))
+        logits_nh = ensemble_per_head_logits(ens, x)
     elif use_fast_backbone and ens.shared_backbone:
         # eval-mode functional backbone with folded BN affines: measured
         # 6,020 vs 5,825 seg/s at 512²/batch 128 on v5e (throughput.py
         # 'fastpath'); numerics match the Flax path at bf16 tolerance
         from synthetic_audio_detection_tpu.models.fast_resnet import (
-            fast_ensemble_forward,
+            fast_ensemble_per_head_logits,
         )
 
-        return fast_ensemble_forward(ens, x)
-    return ensemble_forward(ens, x)
+        logits_nh = fast_ensemble_per_head_logits(ens, x)
+    else:
+        logits_nh = ensemble_per_head_logits(ens, x)
+    agg = _aggregate(logits_nh)
+    if return_per_head:
+        return agg, logits_nh
+    return agg
 
 
 class InferencePipeline:
@@ -287,7 +300,9 @@ class InferencePipeline:
             use_s2d_layer1=self.use_s2d_layer1,
             use_fast_backbone=self.use_fast_backbone,
         )
+        self._fwd = fwd
         self._jit_fwd = jax.jit(fwd, donate_argnums=(1,) if donate_windows else ())
+        self._jit_fwd_diag = None  # lazily built by logits_and_per_head()
         self._jit_per_head = None  # lazily built by per_head_sigmoids()
 
     # -- bucketing ----------------------------------------------------------
@@ -305,22 +320,16 @@ class InferencePipeline:
             bucket = sh.pad_batch_to_multiple(bucket, self.mesh)
         return bucket
 
-    def logits_for_windows(self, windows: np.ndarray) -> np.ndarray:
-        """[num, T] → [num, N+1] logits, batching through compiled buckets.
-
-        The bucket is chosen once per call (small bucket for short clips,
-        the full batch bucket otherwise) so a long recording's tail chunk
-        pads into the already-compiled bucket instead of compiling a new
-        shape mid-run."""
+    def _bucketed_batches(self, windows: np.ndarray):
+        """Yield (device-ready batch, rows-to-keep) pairs: windows padded up
+        to the two-level bucket sizes (so each pipeline compiles at most two
+        program shapes), int16 transport applied, mesh sharding applied."""
         num = windows.shape[0]
-        if num == 0:
-            return np.zeros((0, self.ensemble.num_heads + 1), np.float32)
         bucket = self._bucket(num)
         if self.transport_dtype == "int16" and windows.dtype != np.int16:
             windows = np.clip(
                 np.round(windows.astype(np.float64) * 32768.0), -32768, 32767
             ).astype(np.int16)
-        out = []
         i = 0
         while i < num:
             take = min(bucket, num - i)
@@ -333,28 +342,70 @@ class InferencePipeline:
                 from synthetic_audio_detection_tpu.parallel import sharding as sh
 
                 batch = jax.device_put(batch, sh.batch_sharded(self.mesh, 2))
-            logits = self._jit_fwd(self.ensemble.variables, jnp.asarray(batch))
-            out.append(np.asarray(logits[:take], np.float32))
+            yield jnp.asarray(batch), take
             i += take
+
+    def logits_for_windows(self, windows: np.ndarray) -> np.ndarray:
+        """[num, T] → [num, N+1] logits, batching through compiled buckets.
+
+        The bucket is chosen once per call (small bucket for short clips,
+        the full batch bucket otherwise) so a long recording's tail chunk
+        pads into the already-compiled bucket instead of compiling a new
+        shape mid-run."""
+        if windows.shape[0] == 0:
+            return np.zeros((0, self.ensemble.num_heads + 1), np.float32)
+        out = []
+        for batch, take in self._bucketed_batches(windows):
+            logits = self._jit_fwd(self.ensemble.variables, batch)
+            out.append(np.asarray(logits[:take], np.float32))
         return np.concatenate(out, axis=0)
 
     # -- diagnostics --------------------------------------------------------
 
-    def per_head_sigmoids(self, windows: np.ndarray) -> np.ndarray:
-        """[num, T] → [num, N, 2] per-head sigmoids (columns: [real, syn] per
-        ensemble.multihead REAL_INDEX/SYNTHETIC_INDEX order). A separate
-        (lazily-compiled) program from the serving path — only pay its
-        compile when diagnostics are requested. Exposes the pre-aggregation
-        head outputs the reference's [B, N+1] collapse hides (see
-        ensemble_per_head_logits). Always uses the jnp mel front end and the
-        plain ensemble forward, so values can differ from a Pallas/bf16
-        serving pipeline's at reduced-precision tolerance."""
-        from synthetic_audio_detection_tpu.ensemble.multihead import (
-            ensemble_per_head_logits,
-        )
+    def logits_and_per_head(
+        self, windows: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """[num, T] → (serving logits [num, N+1], per-head logits [num, N, 2])
+        from ONE program that shares every numeric choice with the serving
+        path (same front end — Pallas or jnp — same compute dtype, same
+        fast-backbone/s2d routing, same buckets). The aggregated output IS
+        the serving logits: a near-threshold verdict and the per-head
+        diagnostics explaining it can never disagree."""
+        if windows.shape[0] == 0:
+            n = self.ensemble.num_heads
+            return (np.zeros((0, n + 1), np.float32),
+                    np.zeros((0, n, 2), np.float32))
+        if self._jit_fwd_diag is None:
+            fwd = functools.partial(self._fwd, return_per_head=True)
+            self._jit_fwd_diag = jax.jit(fwd)
+        agg_out, nh_out = [], []
+        for batch, take in self._bucketed_batches(windows):
+            agg, nh = self._jit_fwd_diag(self.ensemble.variables, batch)
+            agg_out.append(np.asarray(agg[:take], np.float32))
+            nh_out.append(np.asarray(nh, np.float32).transpose(1, 0, 2)[:take])
+        return np.concatenate(agg_out, axis=0), np.concatenate(nh_out, axis=0)
 
+    def per_head_sigmoids(
+        self, windows: np.ndarray, serving_numerics: bool = True
+    ) -> np.ndarray:
+        """[num, T] → [num, N, 2] per-head sigmoids (columns: [real, syn] per
+        ensemble.multihead REAL_INDEX/SYNTHETIC_INDEX order). Exposes the
+        pre-aggregation head outputs the reference's [B, N+1] collapse hides
+        (see ensemble_per_head_logits). Lazily compiled — only pay for it
+        when diagnostics are requested — and bucketed exactly like serving,
+        so at most two diagnostic program shapes ever compile.
+
+        serving_numerics=True (default) computes the per-head logits in the
+        SAME program/numerics as the serving verdict (logits_and_per_head).
+        False selects the reference-style f32 jnp front end + plain ensemble
+        forward regardless of the pipeline's serving configuration — values
+        can then differ from a Pallas/bf16 pipeline's at reduced-precision
+        tolerance."""
         if windows.shape[0] == 0:
             return np.zeros((0, self.ensemble.num_heads, 2), np.float32)
+        if serving_numerics:
+            _, logits_bn2 = self.logits_and_per_head(windows)
+            return (1.0 / (1.0 + np.exp(-logits_bn2))).astype(np.float32)
         if self._jit_per_head is None:
             spec, sr = self.spec, self.audio.sample_rate
 
@@ -363,20 +414,24 @@ class InferencePipeline:
                     w = w.astype(jnp.float32) / 32768.0
                 feats = melspec.log_mel_features(
                     w, spec, sr, use_gemm_dft=self.use_gemm_dft,
-                    out_dtype=self.compute_dtype,
+                    out_dtype=jnp.float32,
                 )
                 x = melspec.replicate_channels(feats, spec.out_channels)
                 ens = dataclasses.replace(self.ensemble, variables=variables)
+                if jnp.dtype(ens.model.dtype) != jnp.dtype(jnp.float32):
+                    ens = dataclasses.replace(
+                        ens, model=ens.model.clone(dtype=jnp.float32))
                 return ensemble_per_head_logits(ens, x)  # [N, B, 2]
 
             self._jit_per_head = jax.jit(fwd)
-        logits_nb2 = np.asarray(
-            self._jit_per_head(self.ensemble.variables,
-                               jnp.asarray(windows.astype(np.float32))),
-            np.float32,
-        )
-        probs = 1.0 / (1.0 + np.exp(-logits_nb2))
-        return probs.transpose(1, 0, 2)  # [B, N, 2]
+        out = []
+        for batch, take in self._bucketed_batches(windows):
+            logits_nb2 = np.asarray(
+                self._jit_per_head(self.ensemble.variables, batch), np.float32
+            )
+            out.append(logits_nb2.transpose(1, 0, 2)[:take])
+        probs = 1.0 / (1.0 + np.exp(-np.concatenate(out, axis=0)))
+        return probs.astype(np.float32)
 
     # -- full clip ----------------------------------------------------------
 
@@ -390,18 +445,33 @@ class InferencePipeline:
         windows: np.ndarray,
         stamps: Sequence[Tuple[float, float]],
         smooth: Optional[bool] = None,
+        logits: Optional[np.ndarray] = None,
     ) -> Dict[str, Any]:
-        """Windows → reference JSON result dict {segments, percentages}."""
+        """Windows → reference JSON result dict {segments, percentages}.
+
+        ``logits`` short-circuits the forward pass with precomputed serving
+        logits (e.g. from logits_and_per_head, so a diagnostics caller runs
+        ONE device program for verdict + per-head view)."""
         smooth = self.infer.smooth if smooth is None else smooth
         class_names = self.ensemble.class_names
         if windows.shape[0] == 0:
-            # mirrors inference_runner.py:264-273 (empty JSON on no windows)
-            return {"segments": [], "percentages": {c: 0.0 for c in class_names}}
+            # mirrors inference_runner.py:264-273 exactly: the empty-result
+            # JSON carries an EMPTY percentages dict, not per-class zeros
+            return {"segments": [], "percentages": {}}
 
-        logits = self.logits_for_windows(windows)
-        verdict = decide(jnp.asarray(logits), self.infer.threshold)
-        probs = np.asarray(verdict["probs"])
-        label_idx = np.asarray(verdict["label_idx"])
+        if logits is None:
+            logits = self.logits_for_windows(windows)
+        # Host-side verdict in float32 numpy, matching the reference's
+        # torch.sigmoid → numpy text byte-for-byte (jax.nn.sigmoid's stable
+        # formulation differs in the last ulp, which would leak into the
+        # unrounded percentage floats). decide() stays the jitted in-graph
+        # variant for device-resident consumers.
+        thr = self.infer.threshold
+        probs = (1.0 / (1.0 + np.exp(-np.asarray(logits, np.float32)))
+                 ).astype(np.float32)
+        syn, real = probs[:, :-1], probs[:, -1]
+        is_real = (real >= thr) & (syn < thr).all(axis=1)
+        label_idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
 
         if smooth:
             probs, label_idx = self.smooth_probs(probs)
@@ -409,13 +479,20 @@ class InferencePipeline:
         labels = labels_from_indices(
             label_idx, self.ensemble.synthetic_names, self.ensemble.real_name
         )
+        round_floats = self.infer.round_floats
         segments = [
-            {"start_sec": round(float(s), 3), "end_sec": round(float(e), 3),
+            {"start_sec": round(float(s), 3) if round_floats else float(s),
+             "end_sec": round(float(e), 3) if round_floats else float(e),
              "label": lab}
             for (s, e), lab in zip(stamps, labels)
         ]
+        # reference percentages: float(np.mean(float32 sigmoids, axis=0) * 100)
+        # — the float32 mean's exact double value, unrounded
+        # (inference_runner.py:327-334); rounding is the opt-in extension
+        final = np.mean(probs, axis=0)
         percentages = {
-            c: round(float(probs[:, j].astype(np.float64).mean()) * 100.0, 2)
+            c: (round(float(final[j]) * 100.0, 2) if round_floats
+                else float(final[j] * 100))
             for j, c in enumerate(class_names)
         }
         return {"segments": segments, "percentages": percentages}
@@ -441,12 +518,15 @@ class InferencePipeline:
         return sm, label_idx
 
 
-def result_json(filename: str, result: Dict[str, Any]) -> str:
-    """Assemble the exact reference output schema
-    (inference_runner.py:336-353): {filename, segments[], percentages{}}."""
+def result_json(filename: str, result: Dict[str, Any], indent: int = 4) -> str:
+    """Assemble the exact reference output schema and text
+    (inference_runner.py:345-351): {filename, segments[], percentages{}},
+    ``json.dumps(..., indent=4)``. ``filename`` must be the audio path AS
+    PASSED on the command line (the reference writes ``args.audio`` verbatim,
+    :346) — the compat CLI does; callers wanting a basename pass one."""
     return json.dumps(
         {"filename": filename,
          "segments": result["segments"],
          "percentages": result["percentages"]},
-        indent=2,
+        indent=indent,
     )

@@ -59,15 +59,23 @@ class ServingState:
             mono = np.pad(mono, (0, audio_cfg.window_samples - mono.shape[0]))
         windows, stamps = slice_waveform(mono.astype(np.float32), audio_cfg)
         with self.lock:  # device dispatch is serialized
-            result = self.pipeline.analyze_windows(windows, stamps, smooth=smooth)
-            if per_head:
-                # opt-in pre-aggregation view (see pipeline.per_head_sigmoids);
+            if per_head and windows.shape[0]:
+                # ONE device program yields the serving logits AND the
+                # pre-aggregation view — same numerics by construction, and
+                # bucketed like serving so it never compiles an unbounded
+                # per-clip shape while holding the lock
+                logits, nh = self.pipeline.logits_and_per_head(windows)
+                result = self.pipeline.analyze_windows(
+                    windows, stamps, smooth=smooth, logits=logits)
+                probs = 1.0 / (1.0 + np.exp(-nh))
                 # added under a NEW key so the reference schema stays intact
-                probs = self.pipeline.per_head_sigmoids(windows)
                 result["per_head"] = [
                     [[round(float(p), 4) for p in head] for head in window]
                     for window in probs
                 ]
+            else:
+                result = self.pipeline.analyze_windows(
+                    windows, stamps, smooth=smooth)
         return result
 
     def warmup(self) -> None:

@@ -52,8 +52,11 @@ def build_classifier(cfg: ModelConfig, in_channels: int = 3) -> BinaryClassifier
     return BinaryClassifier(backbone=cfg.backbone, in_channels=in_channels, dtype=dtype)
 
 
-def init_classifier(model: BinaryClassifier, rng: jax.Array, input_size: int = 512):
+def init_classifier(model: BinaryClassifier, rng: jax.Array, input_size=512):
     """Initialize variables with a dummy batch; returns the variable dict
-    {'params': ..., 'batch_stats': ...}."""
-    dummy = jnp.zeros((1, input_size, input_size, model.in_channels), jnp.float32)
+    {'params': ..., 'batch_stats': ...}. ``input_size`` is an int (square) or
+    an (H, W) pair (native mel-resolution mode); parameter shapes are
+    spatial-size-independent either way."""
+    hw = (input_size, input_size) if isinstance(input_size, int) else tuple(input_size)
+    dummy = jnp.zeros((1, *hw, model.in_channels), jnp.float32)
     return model.init({"params": rng}, dummy, train=False)

@@ -204,13 +204,13 @@ def fast_backbone_apply(
     return y
 
 
-def fast_ensemble_forward(ens, x: jnp.ndarray,
-                          s2d_layer1: bool = False,
-                          s2d_stem: str = "") -> jnp.ndarray:
-    """Shared-backbone ensemble forward through the fast backbone.
-    x: [B, H, W, C] → [B, N+1] logits (matches ensemble_forward numerics in
-    bf16). s2d_layer1 routes stage 1 through the space-to-depth folding."""
-    from synthetic_audio_detection_tpu.ensemble.multihead import _aggregate
+def fast_ensemble_per_head_logits(ens, x: jnp.ndarray,
+                                  s2d_layer1: bool = False,
+                                  s2d_stem: str = "") -> jnp.ndarray:
+    """Shared-backbone ensemble through the fast backbone, PRE-aggregation.
+    x: [B, H, W, C] → per-head logits [N, B, 2] (matches
+    ensemble_per_head_logits numerics in bf16). s2d_layer1 routes stage 1
+    through the space-to-depth folding."""
     from synthetic_audio_detection_tpu.models.head import BinaryHead
 
     if not ens.shared_backbone:
@@ -239,5 +239,14 @@ def fast_ensemble_forward(ens, x: jnp.ndarray,
             f, train=False,
         )
 
-    logits_nh = jax.vmap(head_fwd, in_axes=(0, None))(head_vars, feats)
-    return _aggregate(logits_nh)
+    return jax.vmap(head_fwd, in_axes=(0, None))(head_vars, feats)
+
+
+def fast_ensemble_forward(ens, x: jnp.ndarray,
+                          s2d_layer1: bool = False,
+                          s2d_stem: str = "") -> jnp.ndarray:
+    """[B, H, W, C] → [B, N+1] aggregated ensemble logits (the serving
+    surface; aggregation rule model_merger.py:75-91)."""
+    from synthetic_audio_detection_tpu.ensemble.multihead import _aggregate
+
+    return _aggregate(fast_ensemble_per_head_logits(ens, x, s2d_layer1, s2d_stem))

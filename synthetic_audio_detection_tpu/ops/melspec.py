@@ -226,6 +226,24 @@ def mel_spectrogram(
     return jnp.transpose(mel, (0, 2, 1))
 
 
+def finalize_features(z: jnp.ndarray, cfg: SpectrogramConfig) -> jnp.ndarray:
+    """Standardized [B, n_mels, n_frames] log-mel → the model-input image.
+
+    Square modes bilinearly resize to [out_size, out_size] (the reference's
+    torchvision Resize, inference_runner.py:172). NATIVE mode (out_size=0)
+    keeps the mel at its true resolution and only zero-pads the frame axis up
+    to the next multiple of 128 (251 → 256 at the 4 s defaults) — zero IS the
+    per-spectrogram mean after standardization, so the pad is neutral and the
+    interpolation the reference does for its ImageNet backbones is skipped
+    entirely."""
+    if cfg.is_native:
+        w = -(-z.shape[2] // 128) * 128
+        return jnp.pad(z, ((0, 0), (0, 0), (0, w - z.shape[2])))
+    return jax.image.resize(
+        z, (z.shape[0], cfg.out_size, cfg.out_size), method="linear"
+    )
+
+
 def log_mel_features(
     waveforms: jnp.ndarray,
     cfg: SpectrogramConfig,
@@ -234,17 +252,16 @@ def log_mel_features(
     resize: bool = True,
     out_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """Full reference front end: [B, T] → [B, out, out] standardized log-mel
+    """Full reference front end: [B, T] → [B, H, W] standardized log-mel
     images (single channel; the reference's `repeat(3,1,1)` is folded into the
     model's first conv — see models.resnet.fold_rgb_conv — since all three
-    channels are identical copies)."""
+    channels are identical copies). H = W = cfg.out_size, or the native
+    [n_mels, padded-frames] shape when cfg.is_native."""
     mel = mel_spectrogram(waveforms, cfg, sample_rate, use_gemm_dft)
     db = amplitude_to_db(mel, cfg.top_db)
     z = standardize(db, cfg.eps)
     if resize:
-        z = jax.image.resize(
-            z, (z.shape[0], cfg.out_size, cfg.out_size), method="linear"
-        )
+        z = finalize_features(z, cfg)
     return z.astype(out_dtype)
 
 

@@ -103,11 +103,12 @@ def create_train_state(
     model: BinaryClassifier,
     rng: jax.Array,
     cfg: TrainConfig,
-    input_size: int = 512,
+    input_size: Any = 512,  # int (square) or (H, W)
     initial_variables: Optional[Dict[str, Any]] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     if initial_variables is None:
-        dummy = jnp.zeros((2, input_size, input_size, model.in_channels), jnp.float32)
+        hw = (input_size, input_size) if isinstance(input_size, int) else tuple(input_size)
+        dummy = jnp.zeros((2, *hw, model.in_channels), jnp.float32)
         initial_variables = model.init({"params": rng}, dummy, train=False)
     params = initial_variables["params"]
     tx = make_optimizer(cfg)
@@ -155,11 +156,13 @@ def _features_from_waveforms(
     rng: Optional[jax.Array],
     sample_rate: int,
 ) -> jnp.ndarray:
-    """[B, T] → [B, S, S, 3] standardized spectrogram images, with SpecAugment
+    """[B, T] → [B, H, W, 3] standardized spectrogram images, with SpecAugment
     masking applied pre-normalization in train mode (submodel_trainer.py:194-197
     applies masks to the dB spectrogram before standardize) and
     RandomResizedCrop applied post-resize (train transform,
-    submodel_trainer.py:465-467 via :207-208)."""
+    submodel_trainer.py:465-467 via :207-208). In native mode (out_size=0) the
+    crop runs on the TRUE [n_mels, n_frames] content before the frame-axis pad
+    so the augmentation never samples pad columns."""
     mel = melspec.mel_spectrogram(waveforms, spec_cfg, sample_rate)
     db = melspec.amplitude_to_db(mel, spec_cfg.top_db)
     train_mode = augment is not None and augment.enabled and rng is not None
@@ -169,11 +172,14 @@ def _features_from_waveforms(
             rng_mask, db, augment.freq_mask_param, augment.time_mask_param
         )
     z = melspec.standardize(db, spec_cfg.eps)
-    z = jax.image.resize(
-        z, (z.shape[0], spec_cfg.out_size, spec_cfg.out_size), method="linear"
-    )
-    if train_mode:
-        z = image_ops.random_resized_crop(rng_crop, z, scale=(0.8, 1.0))
+    if spec_cfg.is_native:
+        if train_mode:
+            z = image_ops.random_resized_crop(rng_crop, z, scale=(0.8, 1.0))
+        z = melspec.finalize_features(z, spec_cfg)
+    else:
+        z = melspec.finalize_features(z, spec_cfg)
+        if train_mode:
+            z = image_ops.random_resized_crop(rng_crop, z, scale=(0.8, 1.0))
     return melspec.replicate_channels(z, spec_cfg.out_channels)
 
 

@@ -106,7 +106,8 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state, self.tx = steps.create_train_state(
-            self.model, init_rng, cfg, input_size=self.spec_cfg.out_size
+            self.model, init_rng, cfg,
+            input_size=self.spec_cfg.model_input_hw(),
         )
         self.plateau = PlateauState(cfg.plateau_factor, cfg.plateau_patience)
         self.best_acc = 0.0

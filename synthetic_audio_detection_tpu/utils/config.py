@@ -54,6 +54,17 @@ class SpectrogramConfig:
     channel-triplication. `mel_norm` is None at training time and 'slaney' at
     inference in the reference (a train/infer mismatch we reproduce,
     flag-selected): submodel_trainer.py:97-103 vs inference_runner.py:142.
+
+    ``out_size=0`` selects the NATIVE-resolution mode: the standardized
+    log-mel is fed to the model at its true [n_mels, n_frames] resolution
+    (frames zero-padded to a lane-friendly multiple of 128 — 251 → 256 for
+    the 4 s / 32 kHz / hop-512 defaults) with NO resize. The reference's
+    512×512 resize (inference_runner.py:157-174) exists only because its
+    ImageNet-pretrained backbones expect square RGB inputs; it interpolates a
+    128×251 mel up ~8× without adding information. Models trained from
+    scratch at the native shape skip that interpolation entirely (matched
+    train/serve resolution — the accuracy contract measured in
+    docs/PERFORMANCE.md).
     """
 
     n_fft: int = 2048
@@ -69,7 +80,7 @@ class SpectrogramConfig:
     center: bool = True
     pad_mode: str = "reflect"
     eps: float = 1e-6  # std epsilon in per-spectrogram normalization
-    out_size: int = 512  # square resize target
+    out_size: int = 512  # square resize target; 0 = native mel resolution
     out_channels: int = 3
 
     @property
@@ -80,10 +91,22 @@ class SpectrogramConfig:
     def n_freqs(self) -> int:
         return self.n_fft // 2 + 1
 
+    @property
+    def is_native(self) -> bool:
+        return self.out_size == 0
+
     def num_frames(self, num_samples: int) -> int:
         if self.center:
             return 1 + num_samples // self.hop_length
         return 1 + (num_samples - self.win) // self.hop_length
+
+    def model_input_hw(self, num_samples: int = 128_000) -> tuple:
+        """(H, W) of the image the model consumes. Square resize target, or
+        in native mode [n_mels, frames-padded-up-to-multiple-of-128]."""
+        if self.is_native:
+            frames = self.num_frames(num_samples)
+            return self.n_mels, -(-frames // 128) * 128
+        return self.out_size, self.out_size
 
     @staticmethod
     def train() -> "SpectrogramConfig":
@@ -92,8 +115,23 @@ class SpectrogramConfig:
     @staticmethod
     def inference(out_size: int = 512) -> "SpectrogramConfig":
         # out_size 512 = reference fidelity (inference_runner.py:172);
-        # 256 = the documented fast mode (docs/PERFORMANCE.md)
+        # 256 = the documented fast mode; 0 = native mel resolution
+        # (docs/PERFORMANCE.md)
         return SpectrogramConfig(mel_norm="slaney", out_size=out_size)
+
+
+def parse_input_size(value) -> int:
+    """CLI ``--input-size`` values: a positive int (square resize target) or
+    ``native``/``0`` for the native mel-resolution mode
+    (``SpectrogramConfig.out_size == 0``). Raises ValueError otherwise, which
+    argparse renders as the usual invalid-argument error."""
+    v = str(value).strip().lower()
+    if v == "native":
+        return 0
+    n = int(v)
+    if n < 0:
+        raise ValueError(f"invalid input size {value!r}")
+    return n
 
 
 @dataclass(frozen=True)
@@ -174,6 +212,10 @@ class InferenceConfig:
     smooth_sigma: float = 2.0
     batch_size: int = 128
     max_windows: int = 4096  # static upper bound per compiled bucket
+    # The reference emits UNROUNDED float timestamps and percentages
+    # (inference_runner.py:293-349); rounding (3 dp times, 2 dp percentages)
+    # is an opt-in cosmetic extension, off by default for byte-faithful JSON.
+    round_floats: bool = False
 
 
 @dataclass(frozen=True)
