@@ -156,6 +156,9 @@ def load_submodel_torch(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     prefix = "base." if flavor == "classifier" else ""
     variables = torch_compat.classifier_variables_from_torch(sd, base_prefix=prefix)
     extras["flavor"] = flavor
+    # the raw torch key order is the optimizer-index space
+    # (torch_compat.adam_moments_from_torch needs it to map moments)
+    extras["raw_state_dict"] = sd
     return variables, extras
 
 
@@ -167,12 +170,15 @@ def save_submodel_torch(
     total_steps: int = 0,
     scheduler: Optional[Dict[str, Any]] = None,
     layer3_unfrozen: Optional[bool] = None,
+    optimizer: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Write the reference trainer checkpoint contract
     (submodel_trainer.py:707-714). ``scheduler`` carries the plateau state
     (PlateauState.state_dict()) so resuming from the twin keeps the LR
-    trajectory; torch optimizer moments have no optax mapping and stay an
-    empty dict (native resume restores them from save_native)."""
+    trajectory; ``optimizer`` is a torch-AdamW-format state dict
+    (torch_compat.torch_optimizer_state_dict) carrying the Adam moments so a
+    resume from the twin — ours or the reference's — continues the exact
+    optimizer trajectory."""
     sd = torch_compat.torch_state_dict_from_variables(
         jax.tree_util.tree_map(np.asarray, variables)
     )
@@ -180,7 +186,7 @@ def save_submodel_torch(
         "epoch": int(epoch),
         "state_dict": sd,
         "best_acc": float(best_acc),
-        "optimizer": {},
+        "optimizer": dict(optimizer) if optimizer else {},
         "scheduler": dict(scheduler) if scheduler else {},
         "total_steps": int(total_steps),
     }

@@ -271,6 +271,143 @@ def torch_state_dict_from_variables(
     return sd
 
 
+# ---------------------------------------------------------------------------
+# Torch AdamW optimizer state ↔ optax Adam moments
+# ---------------------------------------------------------------------------
+
+# The reference builds its optimizer ONCE, before the epoch loop, over
+# `filter(lambda p: p.requires_grad, model.parameters())`
+# (submodel_trainer.py:647-651) — at that moment only layer4 + the head are
+# trainable (:609-633), so every reference checkpoint's optimizer dict indexes
+# exactly that parameter set, in model.parameters() order, regardless of the
+# epoch it was saved at.
+_PHASE1_PREFIXES = ("layer4", "head")
+_PHASE2_PREFIXES = ("layer3", "layer4", "head")
+
+
+def trainable_param_keys(
+    state_dict: Dict[str, np.ndarray],
+    prefixes: Tuple[str, ...] = _PHASE1_PREFIXES,
+    base_prefix: str = "",
+) -> List[str]:
+    """Ordered torch PARAMETER keys (weight/bias only, buffers excluded)
+    under the trainable prefixes — the order `filter(requires_grad,
+    model.parameters())` yields at the reference's optimizer construction,
+    because state-dict insertion order follows the same module traversal.
+    ``base_prefix='base.'`` handles BinaryClassifier-flavor dicts (backbone
+    namespaced, head unprefixed either way)."""
+    pref = tuple(
+        (p + ".") if p == "head" else (base_prefix + p + ".") for p in prefixes
+    )
+    out = []
+    for k in _strip_module_prefix(state_dict):
+        if not k.startswith(pref):
+            continue
+        if k.rsplit(".", 1)[-1] in ("weight", "bias"):
+            out.append(k)
+    return out
+
+
+def _as_int(x) -> int:
+    return int(np.asarray(x).reshape(-1)[0])
+
+
+def adam_moments_from_torch(
+    optimizer_sd: Dict[str, Any],
+    state_dict: Dict[str, np.ndarray],
+) -> Optional[Tuple[int, Dict[str, Any], Dict[str, Any]]]:
+    """Torch AdamW ``optimizer.state_dict()`` → (step, mu_partial, nu_partial).
+
+    mu/nu are PARTIAL BinaryClassifier param trees (only the leaves the torch
+    optimizer tracked), already layout-transposed like the params themselves.
+    Returns None when the dict is empty or its parameter count matches no
+    known trainable set. Reference save/restore: submodel_trainer.py:707-714 /
+    :669-682."""
+    if not isinstance(optimizer_sd, dict) or not optimizer_sd.get("state"):
+        return None
+    stripped = _strip_module_prefix(state_dict)
+    base_prefix = (
+        "base." if any(k.startswith("base.") for k in stripped) else ""
+    )
+    groups = optimizer_sd.get("param_groups", [])
+    indices = [i for g in groups for i in g.get("params", [])]
+    for prefixes in (_PHASE1_PREFIXES, _PHASE2_PREFIXES):
+        keys = trainable_param_keys(state_dict, prefixes, base_prefix)
+        if len(keys) == len(indices):
+            break
+    else:
+        return None
+    idx_to_key = dict(zip(indices, keys))
+    exp_avg_sd: Dict[str, np.ndarray] = {}
+    exp_avg_sq_sd: Dict[str, np.ndarray] = {}
+    steps = [0]
+    for idx, entry in optimizer_sd["state"].items():
+        key = idx_to_key.get(_as_int(idx))
+        if key is None or "exp_avg" not in entry:
+            continue
+        exp_avg_sd[key] = np.asarray(entry["exp_avg"], np.float32)
+        exp_avg_sq_sd[key] = np.asarray(entry["exp_avg_sq"], np.float32)
+        if "step" in entry:
+            steps.append(_as_int(entry["step"]))
+    if not exp_avg_sd:
+        return None
+    # classifier_variables_from_torch applies the exact same layout transposes
+    # to the moment tensors that it applies to the parameters they track
+    mu = classifier_variables_from_torch(exp_avg_sd, base_prefix)["params"]
+    nu = classifier_variables_from_torch(exp_avg_sq_sd, base_prefix)["params"]
+    return max(steps), mu, nu
+
+
+def overlay_tree(full: Any, partial: Any) -> Any:
+    """Return `full` with every leaf present in `partial` replaced (both are
+    nested dicts; `partial` must be a sub-tree of `full`)."""
+    if not isinstance(partial, dict):
+        return partial
+    out = {}
+    for k, v in full.items():
+        out[k] = overlay_tree(v, partial[k]) if k in partial else v
+    return out
+
+
+def torch_optimizer_state_dict(
+    count: int,
+    mu: Dict[str, Any],
+    nu: Dict[str, Any],
+    lr: float = 1e-3,
+    weight_decay: float = 0.01,
+) -> Dict[str, Any]:
+    """Optax Adam moment trees → a torch AdamW ``optimizer.state_dict()`` the
+    reference's resume can consume (submodel_trainer.py:669-682). Exports the
+    PHASE-1 trainable set (layer4 + head) — the only set a reference-built
+    optimizer ever holds — in model.parameters() order; moments of other
+    leaves (e.g. layer3 after our unfreeze) are not representable there and
+    stay in the native checkpoint."""
+    mu_sd = torch_state_dict_from_variables({"params": mu}, base_prefix="")
+    nu_sd = torch_state_dict_from_variables({"params": nu}, base_prefix="")
+    keys = trainable_param_keys(mu_sd)
+    state = {}
+    for i, k in enumerate(keys):
+        state[i] = {
+            "step": np.asarray(float(count), np.float32),
+            "exp_avg": np.asarray(mu_sd[k], np.float32),
+            "exp_avg_sq": np.asarray(nu_sd[k], np.float32),
+        }
+    group = {
+        "lr": float(lr),
+        "betas": (0.9, 0.999),
+        "eps": 1e-8,
+        "weight_decay": float(weight_decay),
+        "amsgrad": False,
+        "maximize": False,
+        "foreach": None,
+        "capturable": False,
+        "differentiable": False,
+        "fused": None,
+        "params": list(range(len(keys))),
+    }
+    return {"state": state, "param_groups": [group]}
+
+
 def merged_state_dict_from_ensembles(
     per_model_variables: List[Dict[str, Any]],
 ) -> Dict[str, np.ndarray]:

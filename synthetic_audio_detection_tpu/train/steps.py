@@ -128,6 +128,51 @@ def unfreeze_layer3(state: TrainState) -> TrainState:
     return state.replace(param_mask=freeze_mask(state.params, PHASE2_PREFIXES))
 
 
+def extract_adam_state(opt_state: Any) -> Optional[Tuple[int, Any, Any]]:
+    """Find the ScaleByAdamState inside a (possibly inject_hyperparams-
+    wrapped, chained) optax state → (count, mu, nu), or None."""
+    found: list = []
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            found.append(node)
+        elif isinstance(node, (tuple, list)):
+            for x in node:
+                walk(x)
+
+    walk(opt_state)
+    if not found:
+        return None
+    st = found[0]
+    return int(st.count), st.mu, st.nu
+
+
+def replace_adam_state(opt_state: Any, count: int, mu: Any, nu: Any) -> Any:
+    """Return ``opt_state`` with its ScaleByAdamState's moments/count swapped
+    for the given trees — the torch-``.pth``-resume path
+    (submodel_trainer.py:669-682 restores the torch AdamW dict; this is the
+    optax side of that round trip)."""
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            as_f32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda a: jnp.asarray(a, jnp.float32), t)
+            return optax.ScaleByAdamState(
+                count=jnp.asarray(count, jnp.int32),
+                mu=as_f32(mu),
+                nu=as_f32(nu),
+            )
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[walk(x) for x in node])
+        if isinstance(node, tuple):
+            return tuple(walk(x) for x in node)
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return node
+
+    return walk(opt_state)
+
+
 # ---------------------------------------------------------------------------
 # Loss / forward
 # ---------------------------------------------------------------------------

@@ -164,6 +164,23 @@ class Trainer:
             "layer3_unfrozen": self.layer3_unfrozen,
         }
 
+    def _torch_optimizer_export(self) -> Optional[Dict[str, Any]]:
+        """Adam moments → torch AdamW state-dict format for the ``.pth``
+        twin, so resumes from the twin (ours or the reference's,
+        submodel_trainer.py:669-682) continue the optimizer trajectory."""
+        from synthetic_audio_detection_tpu.checkpoints import torch_compat
+
+        adam = steps.extract_adam_state(self.state.opt_state)
+        if adam is None:
+            return None
+        count, mu, nu = adam
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+        return torch_compat.torch_optimizer_state_dict(
+            count, to_np(mu), to_np(nu),
+            lr=self.cfg.lr * float(self.state.lr_scale),
+            weight_decay=self.cfg.weight_decay,
+        )
+
     def save_checkpoint(self, epoch: int, path: str) -> None:
         payload = self.checkpoint_payload(epoch)
         scheduler = payload.pop("scheduler")
@@ -176,6 +193,7 @@ class Trainer:
             "model_name": self.model_name,
             "class_names": self.class_names,
         }
+        torch_opt = self._torch_optimizer_export()
         if self.cfg.checkpoint_backend == "orbax":
             if self._orbax is None:
                 from synthetic_audio_detection_tpu.checkpoints.orbax_io import (
@@ -190,6 +208,7 @@ class Trainer:
                 best_acc=extra["best_acc"], total_steps=extra["total_steps"],
                 scheduler=extra["scheduler"],
                 layer3_unfrozen=extra["layer3_unfrozen"],
+                optimizer=torch_opt,
             )
             return
         serialization.save_native(path, payload, metadata=extra)
@@ -202,6 +221,7 @@ class Trainer:
             total_steps=extra["total_steps"],
             scheduler=extra["scheduler"],
             layer3_unfrozen=extra["layer3_unfrozen"],
+            optimizer=torch_opt,
         )
 
     def resume(self, path: str) -> None:
@@ -209,9 +229,10 @@ class Trainer:
         saved epoch + 1, matching submodel_trainer.py:672-677 (the saved epoch
         already completed). Accepts native or torch checkpoints. Torch resumes
         restore the scheduler when the checkpoint carries a usable
-        ReduceLROnPlateau state dict; torch AdamW moment tensors are NOT
-        mapped onto optax state (logged as a warning) — the optimizer restarts
-        from fresh moments, everything else matches."""
+        ReduceLROnPlateau state dict, and map the torch AdamW moment tensors
+        (exp_avg/exp_avg_sq/step) onto the optax ScaleByAdamState — the same
+        optimizer round trip the reference performs at
+        submodel_trainer.py:669-682/707-714."""
         if path.endswith((".pth", ".pt")):
             variables, extras = serialization.load_submodel_torch(path)
             self.state = self.state.replace(
@@ -239,11 +260,26 @@ class Trainer:
                 self.state = steps.unfreeze_layer3(self.state)
                 self.layer3_unfrozen = True
                 self._train_step = self._build_train_step()
-            log.warning(
-                "torch-ckpt resume: optimizer moments not restored "
-                "(torch AdamW state has no optax mapping); params/batch_stats/"
-                "scheduler/epoch restored"
+            from synthetic_audio_detection_tpu.checkpoints import torch_compat
+
+            adam = torch_compat.adam_moments_from_torch(
+                extras.get("optimizer"), extras.get("raw_state_dict", {})
             )
+            if adam is not None:
+                count, mu_p, nu_p = adam
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, self.state.params)
+                self.state = self.state.replace(
+                    opt_state=steps.replace_adam_state(
+                        self.state.opt_state, count,
+                        torch_compat.overlay_tree(zeros, mu_p),
+                        torch_compat.overlay_tree(zeros, nu_p),
+                    )
+                )
+                log.info("restored AdamW moments from torch checkpoint "
+                         "(step %d)", count)
+            elif extras.get("optimizer"):
+                log.warning("torch-ckpt resume: optimizer dict present but "
+                            "unmappable; moments restart fresh")
             log.info("resumed (torch ckpt) at epoch %d", self.start_epoch)
             return
         from flax import serialization as flax_ser
