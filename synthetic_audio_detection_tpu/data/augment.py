@@ -171,9 +171,19 @@ def process_augmentation(
     seed: Optional[int] = None,
 ) -> Optional[Dict[str, object]]:
     """One (file × augmentation) task → one stereo PCM_16 WAV + CSV record
-    (audio_augmneter.py:148-212 contract). Returns None on failure."""
+    (audio_augmneter.py:148-212 contract). Returns None on failure.
+
+    WAV inputs decode through the native parser; anything else (the reference
+    accepts .mp3 too, audio_augmneter.py:233,242) routes through the ffmpeg
+    shim in audio/decode.py — a clear error without ffmpeg, mirroring
+    librosa.load's backend behavior."""
     try:
-        wf, sr = wavio.read_wav(input_file)
+        if input_file.lower().endswith(".wav"):
+            wf, sr = wavio.read_wav(input_file)
+        else:
+            from synthetic_audio_detection_tpu.audio.decode import load_audio
+
+            wf, sr = load_audio(input_file)
         y = wf.mean(axis=0)
         if sr != AUGMENT_SR:
             y = resample_poly_np(y, sr, AUGMENT_SR)
@@ -214,10 +224,12 @@ def augment_directory(
     if os.path.isfile(input_path):
         files = [input_path]
     else:
+        # .wav AND .mp3, matching the reference's listing
+        # (audio_augmneter.py:233,242)
         files = [
             os.path.join(input_path, f)
             for f in sorted(os.listdir(input_path))
-            if f.lower().endswith(".wav")
+            if f.lower().endswith((".wav", ".mp3"))
         ]
     tasks = []
     for i, f in enumerate(files):
@@ -227,10 +239,16 @@ def augment_directory(
 
     pool_size = pool_size or os.cpu_count() or 1
     records: List[Dict[str, object]] = []
-    with cf.ProcessPoolExecutor(max_workers=pool_size) as ex:
-        for rec in ex.map(_process_star, tasks):
+    if pool_size == 1:
+        # inline: no worker-process spawn overhead for tiny batches
+        for rec in map(_process_star, tasks):
             if rec is not None:
                 records.append(rec)
+    else:
+        with cf.ProcessPoolExecutor(max_workers=pool_size) as ex:
+            for rec in ex.map(_process_star, tasks):
+                if rec is not None:
+                    records.append(rec)
 
     if csv_path:
         with open(csv_path, "w", newline="") as f:

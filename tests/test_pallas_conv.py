@@ -62,3 +62,31 @@ def test_flat_conv_matches_lax(rng, shape, k_pack):
                           scale, bias, 1, True))
     assert got.shape == ref.shape == (B, H, W, F)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 16, 14, 8, 8),
+    (1, 32, 32, 64, 64),  # layer1-like channel width
+])
+def test_flat_conv_static_matches_lax(rng, shape):
+    """The STATIC-unrolled flat variant — the only formulation the remote
+    compile helper accepts and the one benchmarks/conv_ab.py measured at
+    58.8 TF/s — pinned against lax in interpret mode (its static 9-tap
+    row-slice offsets and junk-column handling differ from the dynamic
+    variant's)."""
+    from synthetic_audio_detection_tpu.ops.pallas_conv_flat import (
+        conv3x3_bn_relu_flat_static,
+    )
+
+    B, H, W, C, F = shape
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, F)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, F).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(F).astype(np.float32) * 0.1)
+    got = np.asarray(conv3x3_bn_relu_flat_static(
+        x, w, scale, bias, interpret=True)).astype(np.float32)
+    ref = np.asarray(_ref(x.astype(jnp.bfloat16).astype(jnp.float32),
+                          w.astype(jnp.bfloat16).astype(jnp.float32),
+                          scale, bias, 1, True))
+    assert got.shape == ref.shape == (B, H, W, F)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
