@@ -55,6 +55,10 @@ def main() -> None:
     p.add_argument("--mono", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="shard windows over all local devices")
+    p.add_argument("--device-resample", action="store_true",
+                   help="resample 44.1k->32k on device via the jitted "
+                   "bucketed polyphase (ops.resample.resample_bucketed) "
+                   "instead of the host BLAS twin — A/B for VERDICT r2 #7")
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_ensemble
@@ -82,8 +86,20 @@ def main() -> None:
         with timer.stage("decode+downmix (native)"):
             mono, sr = native.read_mono(wav)
 
-        with timer.stage("resample 44.1k->32k"):
-            mono = resample_poly_np(mono, sr, 32_000)
+        if args.device_resample:
+            from synthetic_audio_detection_tpu.ops.resample import (
+                resample_bucketed,
+            )
+
+            # warmup compile outside the timed stage (shape-bucketed: one
+            # compile per bucket count)
+            with timer.stage("device-resample compile"):
+                resample_bucketed(mono[: 44_100 * 60], sr, 32_000)
+            with timer.stage("resample 44.1k->32k (device)"):
+                mono = resample_bucketed(mono, sr, 32_000)
+        else:
+            with timer.stage("resample 44.1k->32k"):
+                mono = resample_poly_np(mono, sr, 32_000)
 
         audio_cfg = AudioConfig()
         with timer.stage("window+gate"):

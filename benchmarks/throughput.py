@@ -77,8 +77,7 @@ def bench_config(
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
-            feats = jax.image.resize(
-                z, (z.shape[0], input_size, input_size), method="linear")
+            feats = M.finalize_features(z, spec)
             return feats.astype(jnp.bfloat16)
 
         variables_in = jnp.zeros(())
@@ -98,8 +97,7 @@ def bench_config(
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
-            feats = jax.image.resize(
-                z, (z.shape[0], input_size, input_size), method="linear")
+            feats = M.finalize_features(z, spec)
             x = jnp.broadcast_to(feats[..., None], (*feats.shape, 3))
             import dataclasses as dc
             q = dc.replace(qens, qbackbone=qvars[0], head_variables=qvars[1])
@@ -123,8 +121,7 @@ def bench_config(
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
-            feats = jax.image.resize(
-                z, (z.shape[0], input_size, input_size), method="linear")
+            feats = M.finalize_features(z, spec)
             ch = ens.model.in_channels
             x = feats[..., None].astype(jnp.bfloat16)
             if ch > 1:
@@ -239,6 +236,33 @@ PRESETS = {
     # front end only (mel + resize, no model) — decomposition ablation
     "melonly": dict(batch=128, heads=1, input_size=512, dtype="bf16",
                     use_pallas=True, shared_backbone=True, melonly=True),
+    # NATIVE mel resolution (input_size 0): the 128x251 mel padded to
+    # 128x256, NO resize — the resolution the 512/256 modes interpolate from
+    # (docs/PERFORMANCE.md native study)
+    "native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
+                   use_pallas=True, shared_backbone=True),
+    "native-b256": dict(batch=256, heads=6, input_size=0, dtype="bf16",
+                        use_pallas=True, shared_backbone=True),
+    "native-b512": dict(batch=512, heads=6, input_size=0, dtype="bf16",
+                        use_pallas=True, shared_backbone=True),
+    "native-b1024": dict(batch=1024, heads=6, input_size=0, dtype="bf16",
+                         use_pallas=True, shared_backbone=True),
+    "fastpath-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
+                            use_pallas=True, shared_backbone=True,
+                            fastpath_plain=True),
+    "fastpath-native-b256": dict(batch=256, heads=6, input_size=0,
+                                 dtype="bf16", use_pallas=True,
+                                 shared_backbone=True, fastpath_plain=True),
+    "fastpath-native-b512": dict(batch=512, heads=6, input_size=0,
+                                 dtype="bf16", use_pallas=True,
+                                 shared_backbone=True, fastpath_plain=True),
+    "melonly-native": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                           use_pallas=True, shared_backbone=True,
+                           melonly=True),
+    "latency-native": dict(batch=8, heads=6, input_size=0, dtype="bf16",
+                           use_pallas=True, shared_backbone=True),
+    "mono-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
+                        use_pallas=True, shared_backbone=True, mono=True),
 }
 
 
@@ -278,8 +302,7 @@ def int8_agreement(
         else:
             z = M.standardize(M.amplitude_to_db(
                 M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
-        feats = jax.image.resize(
-            z, (z.shape[0], input_size, input_size), method="linear")
+        feats = M.finalize_features(z, spec)
         x = jnp.broadcast_to(feats[..., None], (*feats.shape, 3))
         q = dc.replace(qens, qbackbone=qvars[0], head_variables=qvars[1])
         return quantized_ensemble_forward(q, x)
@@ -313,7 +336,8 @@ def main() -> None:
                    choices=sorted(PRESETS))
     p.add_argument("--batch", type=int)
     p.add_argument("--heads", type=int)
-    p.add_argument("--input-size", type=int)
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+    p.add_argument("--input-size", type=parse_input_size)
     p.add_argument("--dtype", choices=["bf16", "f32"])
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--agreement", action="store_true",
@@ -323,7 +347,7 @@ def main() -> None:
     if args.agreement:
         print(json.dumps(int8_agreement(
             batch=args.batch or 128,
-            input_size=args.input_size or 512,
+            input_size=512 if args.input_size is None else args.input_size,
             use_pallas=not args.no_pallas,
         )))
 
@@ -333,7 +357,7 @@ def main() -> None:
             cfg["batch"] = args.batch
         if args.heads:
             cfg["heads"] = args.heads
-        if args.input_size:
+        if args.input_size is not None:
             cfg["input_size"] = args.input_size
         if args.dtype:
             cfg["dtype"] = args.dtype

@@ -87,3 +87,39 @@ def resample(
 def resample_np(waveform: np.ndarray, orig_freq: int, new_freq: int, **kw) -> np.ndarray:
     """NumPy host-side variant (for offline ETL where no device is involved)."""
     return np.asarray(resample(jnp.asarray(waveform, jnp.float32), orig_freq, new_freq, **kw))
+
+
+_jit_resample = jax.jit(resample, static_argnums=(1, 2))
+
+
+def resample_bucketed(
+    waveform: np.ndarray,
+    orig_freq: int,
+    new_freq: int,
+    bucket_seconds: float = 60.0,
+) -> np.ndarray:
+    """Device-jitted resample for arbitrary-length HOST waveforms on the
+    serving path (reference: inference_runner.py:147-149 resamples on the
+    fly). The input is zero-padded up to a multiple of ``bucket_seconds`` so
+    each (orig, new, bucket-count) shape compiles exactly once — the repo's
+    static-shape serving convention; arbitrary lengths through a bare jit
+    would recompile per clip. Zero padding is mathematically
+    exact (the polyphase conv already zero-pads its tail), so trimming to
+    ceil(T·new/orig) reproduces ``resample`` on the unpadded signal to float
+    tolerance (XLA may reassociate the conv reduction across shapes).
+
+    Measured on the v5e (benchmarks/e2e_pipeline.py --device-resample): the
+    host polyphase twin is upload-bound-cheaper on this tunneled rig; this
+    path exists for PCIe-attached hosts where device FLOPs are closer than
+    host BLAS."""
+    waveform = np.asarray(waveform, np.float32)
+    if orig_freq == new_freq:
+        return waveform
+    T = waveform.shape[-1]
+    bucket = max(int(bucket_seconds * orig_freq), 1)
+    padded = -(-T // bucket) * bucket
+    x = np.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(0, padded - T)])
+    y = np.asarray(_jit_resample(jnp.asarray(x), int(orig_freq), int(new_freq)))
+    g = math.gcd(int(orig_freq), int(new_freq))
+    target = int(math.ceil(int(new_freq) // g * T / (int(orig_freq) // g)))
+    return y[..., :target]

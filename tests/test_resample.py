@@ -66,3 +66,24 @@ def test_dc_preserved():
     x = jnp.ones(10000, jnp.float32) * 0.5
     y = np.asarray(resample(x, 48000, 32000))
     np.testing.assert_allclose(y[100:-100], 0.5, atol=1e-3)
+
+
+def test_bucketed_matches_unbucketed_exactly():
+    """resample_bucketed (serving-path static-shape variant) reproduces
+    resample on the unpadded signal at odd lengths (zero-padding is
+    mathematically exact; XLA may reassociate the conv reduction across
+    different compiled shapes, so agreement is float-tolerance, not
+    bitwise), and the output length matches the ceil(T*new/orig)
+    contract."""
+    from synthetic_audio_detection_tpu.ops.resample import resample_bucketed
+
+    rng = np.random.default_rng(5)
+    for T in (44_100 * 3 + 17, 44_100 // 2, 44_100 * 7):
+        x = (rng.standard_normal(T) * 0.3).astype(np.float32)
+        direct = np.asarray(resample(jnp.asarray(x), 44_100, 32_000))
+        bucketed = resample_bucketed(x, 44_100, 32_000, bucket_seconds=2.0)
+        assert bucketed.shape == direct.shape
+        np.testing.assert_allclose(bucketed, direct, atol=2e-6, rtol=1e-5)
+    # same-rate passthrough
+    x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+    np.testing.assert_array_equal(resample_bucketed(x, 32_000, 32_000), x)
