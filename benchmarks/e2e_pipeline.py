@@ -50,7 +50,8 @@ def main() -> None:
 
     p = argparse.ArgumentParser()
     p.add_argument("--minutes", type=float, default=60.0)
-    p.add_argument("--input-size", type=int, default=512)
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+    p.add_argument("--input-size", type=parse_input_size, default=512)
     p.add_argument("--heads", type=int, default=6)
     p.add_argument("--mono", action="store_true")
     p.add_argument("--mesh", action="store_true",

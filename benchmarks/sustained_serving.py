@@ -54,7 +54,8 @@ def main() -> None:
     p.add_argument("--seconds", type=float, default=330.0)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--decode-workers", type=int, default=8)
-    p.add_argument("--input-size", type=int, default=512)
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+    p.add_argument("--input-size", type=parse_input_size, default=512)
     p.add_argument("--no-s2d", action="store_true")
     args = p.parse_args()
 

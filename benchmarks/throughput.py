@@ -54,6 +54,7 @@ def bench_config(
     s2d: bool = False,
     fastpath_plain: bool = False,
     s2d_stem: str = "",
+    iters: int = 11,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -150,7 +151,7 @@ def bench_config(
     variables = jax.device_put(
         variables_in if variables_in is not None else ens.variables
     )
-    per_iter = measure(fwd, variables, windows)
+    per_iter = measure(fwd, variables, windows, iters=iters)
     return {
         "batch": batch,
         "heads": heads,
@@ -263,6 +264,10 @@ PRESETS = {
                            use_pallas=True, shared_backbone=True),
     "mono-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
                         use_pallas=True, shared_backbone=True, mono=True),
+    "fastpath-mono-native": dict(batch=128, heads=6, input_size=0,
+                                 dtype="bf16", use_pallas=True,
+                                 shared_backbone=True, fastpath_plain=True,
+                                 mono=True),
 }
 
 
@@ -340,6 +345,9 @@ def main() -> None:
     p.add_argument("--input-size", type=parse_input_size)
     p.add_argument("--dtype", choices=["bf16", "f32"])
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--iters", type=int, default=11,
+                   help="loop iterations for the N-vs-1 differencing; raise "
+                   "for sub-ms configs near the tunnel's timing noise floor")
     p.add_argument("--agreement", action="store_true",
                    help="Also run the int8-vs-bf16 argmax agreement check")
     args = p.parse_args()
@@ -363,7 +371,7 @@ def main() -> None:
             cfg["dtype"] = args.dtype
         if args.no_pallas:
             cfg["use_pallas"] = False
-        result = bench_config(**cfg)
+        result = bench_config(**cfg, iters=args.iters)
         print(json.dumps({"config": name, **result}))
 
 

@@ -46,7 +46,8 @@ def measure(step, state, batch, rng) -> float:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16, help="rows per step")
-    p.add_argument("--input-size", type=int, default=512)
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+    p.add_argument("--input-size", type=parse_input_size, default=512)
     p.add_argument("--backbone", default="resnet18")
     p.add_argument("--variants", nargs="*", default=["plain", "s2d"],
                    choices=["plain", "s2d", "sg", "sg-s2d", "sg3"])
@@ -76,7 +77,7 @@ def main() -> None:
         model = BinaryClassifier(backbone=args.backbone,
                                  s2d_stage1=("s2d" in variant))
         state, tx = steps.create_train_state(
-            model, jax.random.PRNGKey(0), cfg, input_size=args.input_size)
+            model, jax.random.PRNGKey(0), cfg, input_size=spec.model_input_hw())
         # sg = stop-grad at the phase-1 freeze boundary (before layer4);
         # sg3 = phase-2 boundary (before layer3, post-unfreeze schedule)
         sg_stage = 4 if variant.startswith("sg") and variant != "sg3" else (

@@ -31,7 +31,9 @@ def main() -> None:
     p.add_argument("--backbone", default="resnet18")
     p.add_argument("--batch", type=int, default=16,
                    help="segment rows per step")
-    p.add_argument("--input-size", type=int, default=512)
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+    p.add_argument("--input-size", type=parse_input_size, default=512,
+                   help="512/256/... or 'native' (mel-resolution, no resize)")
     p.add_argument("--stop-grad", type=int, default=4, choices=(0, 3, 4),
                    help="Freeze-boundary gradient stop stage: 4 = phase-1 "
                    "production default (backward only through layer4+head), "
@@ -51,7 +53,8 @@ def main() -> None:
     spec = SpectrogramConfig(out_size=args.input_size)
     model = BinaryClassifier(backbone=args.backbone, dtype=jnp.bfloat16)
     state, tx = steps.create_train_state(
-        model, jax.random.PRNGKey(0), cfg, input_size=args.input_size
+        model, jax.random.PRNGKey(0), cfg,
+        input_size=spec.model_input_hw(),
     )
     if args.stop_grad == 3:
         state = steps.unfreeze_layer3(state)

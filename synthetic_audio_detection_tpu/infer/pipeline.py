@@ -213,13 +213,20 @@ class InferencePipeline:
     ):
         # Exact mono stem fold (sum conv1's kernel over its input axis; the
         # front end feeds one replicated mel channel, so this is
-        # bit-equivalent). OPT-IN: although the isolated stem measures 2.4x
-        # faster at C=1 (4.19 → 1.72 ms/batch-128 @512²), the composite
-        # program shows XLA already folds the broadcast into the conv —
-        # mono measured NEUTRAL at 512² (6,005 vs 6,020 seg/s) and HARMFUL
-        # at 256² (12,868 vs 19,524: C=1 stems hit a bad emitter path).
+        # bit-equivalent). Composite measurements decide the default
+        # (micro numbers do not transfer — NOTES.md): NEUTRAL at 512²
+        # (6,005 vs 6,020 seg/s), HARMFUL at 256² (12,868 vs 19,524 — C=1
+        # stems hit a bad emitter path there), +6% WIN at the native mel
+        # resolution (31,640 vs 29,728; 31,879 with the fast path,
+        # throughput.py mono-native/fastpath-mono-native). Auto = on only
+        # for native-resolution TPU serving in a reduced dtype.
+        spec_resolved = spec or SpectrogramConfig.inference()
         if fold_mono is None:
-            fold_mono = False
+            fold_mono = (
+                spec_resolved.is_native
+                and jax.default_backend() in ("tpu", "axon")
+                and jnp.dtype(compute_dtype) != jnp.float32
+            )
         if fold_mono and ensemble.model.in_channels == 3:
             from synthetic_audio_detection_tpu.ensemble.multihead import (
                 fold_to_mono,
@@ -228,7 +235,7 @@ class InferencePipeline:
             ensemble = fold_to_mono(ensemble)
         self.ensemble = ensemble
         self.audio = audio or AudioConfig()
-        self.spec = spec or SpectrogramConfig.inference()
+        self.spec = spec_resolved
         self.infer = infer or InferenceConfig()
         self.use_gemm_dft = use_gemm_dft
         self.compute_dtype = compute_dtype

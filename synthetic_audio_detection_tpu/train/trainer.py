@@ -63,9 +63,17 @@ class _GrainBatcher:
             make_grain_loader,
         )
 
+        # fold_in-style derivation (splitmix64 finalizer) rather than
+        # seed + epoch: adjacent-seed streams of some generators correlate,
+        # and nothing else in the repo relies on additive seeding
+        z = ((self.seed & 0xFFFFFFFF) << 32 | (epoch_idx & 0xFFFFFFFF))
+        z = (z + 0x9E3779B97F4A7C15) & (2**64 - 1)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+        epoch_seed = (z ^ (z >> 31)) & 0x7FFFFFFF
         yield from make_grain_loader(
             self.samples, self.batch_size, shuffle=self.shuffle,
-            seed=self.seed + epoch_idx, workers=self.workers,
+            seed=epoch_seed, workers=self.workers,
         )
 
 
