@@ -45,11 +45,14 @@ def make_prefix(ens, spec, upto: str):
     def fwd(variables, windows):
         import dataclasses as dc
 
+        from synthetic_audio_detection_tpu.ops import melspec as M
+
         z = fused_log_mel(windows, spec, 32_000)
-        feats = jax.image.resize(
-            z, (z.shape[0], spec.out_size, spec.out_size), method="linear"
-        ).astype(jnp.bfloat16)
-        x = jnp.broadcast_to(feats[..., None], (*feats.shape, 3))
+        feats = M.finalize_features(z, spec).astype(jnp.bfloat16)
+        ch = ens.model.in_channels
+        x = feats[..., None]
+        if ch > 1:
+            x = jnp.broadcast_to(x, (*feats.shape, ch))
         if upto == "fe":
             return x
         e = dc.replace(ens, variables=variables)
@@ -100,6 +103,10 @@ def main():
     p.add_argument("--prefixes", nargs="*",
                    default=["fe", "stem", "l1", "full"],
                    choices=["fe", "stem", "l1", "l2", "l3", "l4", "full"])
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+    p.add_argument("--input-size", type=parse_input_size, default=512)
+    p.add_argument("--mono", action="store_true",
+                   help="mono-folded stem (the native serving default)")
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_ensemble
@@ -107,7 +114,13 @@ def main():
 
     ens = _flagship_ensemble(n_heads=6, shared_backbone=True,
                              dtype=jnp.bfloat16)
-    spec = SpectrogramConfig(mel_norm="slaney", out_size=512)
+    if args.mono:
+        from synthetic_audio_detection_tpu.ensemble.multihead import (
+            fold_to_mono,
+        )
+
+        ens = fold_to_mono(ens)
+    spec = SpectrogramConfig(mel_norm="slaney", out_size=args.input_size)
     rng = np.random.default_rng(0)
     windows = jnp.asarray(
         rng.standard_normal((BATCH, 128_000)).astype(np.float32) * 0.3)

@@ -55,6 +55,7 @@ def bench_config(
     fastpath_plain: bool = False,
     s2d_stem: str = "",
     iters: int = 11,
+    gemm_dft: bool = True,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -77,7 +78,8 @@ def bench_config(
                 z = fused_log_mel(windows, spec, 32_000)
             else:
                 z = M.standardize(M.amplitude_to_db(
-                    M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
+                    M.mel_spectrogram(windows, spec, 32_000, gemm_dft),
+                    spec.top_db))
             feats = M.finalize_features(z, spec)
             return feats.astype(jnp.bfloat16)
 
@@ -138,7 +140,7 @@ def bench_config(
             ensemble=ens,
             spec_cfg=spec,
             sample_rate=32_000,
-            use_gemm_dft=True,
+            use_gemm_dft=gemm_dft,
             compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
             use_pallas=use_pallas,
             use_s2d_layer1=s2d,
@@ -268,6 +270,20 @@ PRESETS = {
                                  dtype="bf16", use_pallas=True,
                                  shared_backbone=True, fastpath_plain=True,
                                  mono=True),
+    # XLA FFT front end A/B (never measured on chip before round 3: the
+    # GEMM-DFT was chosen by design; at native the front end is 45% of the
+    # batch, so if the TPU FFT op is any good this is the top lever)
+    "melonly-native-fft": dict(batch=128, heads=1, input_size=0,
+                               dtype="bf16", use_pallas=False,
+                               shared_backbone=True, melonly=True,
+                               gemm_dft=False),
+    "melonly-native-gemm": dict(batch=128, heads=1, input_size=0,
+                                dtype="bf16", use_pallas=False,
+                                shared_backbone=True, melonly=True,
+                                gemm_dft=True),
+    "native-fft": dict(batch=128, heads=6, input_size=0, dtype="bf16",
+                       use_pallas=False, shared_backbone=True,
+                       gemm_dft=False),
 }
 
 
