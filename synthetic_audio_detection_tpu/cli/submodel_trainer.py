@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Reproduce the reference trainer's head-not-in-loss "
                    "bug exactly (CE over pooled backbone features; "
                    "SURVEY.md §2.2). Default: the sane head-in-loss path.")
+    p.add_argument("--reference-quirk-frozen-layer3", action="store_true",
+                   help="Reproduce the reference's layer3-unfreeze no-op "
+                   "exactly: its AdamW is built before the epoch loop over "
+                   "the phase-1 trainable set, so the epochs//3 unfreeze "
+                   "never updates layer3 (submodel_trainer.py:647-651 vs "
+                   ":687-691). Default: actually train layer3 after the "
+                   "unfreeze (the documented intent).")
     return p
 
 
@@ -136,6 +143,7 @@ def main(argv=None) -> int:
         s2d_stage1=_resolve_s2d(args),
         stop_grad_boundary=args.stop_grad_boundary,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        reference_quirk_frozen_layer3=args.reference_quirk_frozen_layer3,
     )
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 

@@ -406,8 +406,13 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.epochs):
             # >= (not ==): a resume that starts past the boundary (e.g. a
             # torch checkpoint without the layer3_unfrozen flag, saved at or
-            # after the unfreeze epoch) must still unfreeze on its first epoch
-            if epoch >= unfreeze_epoch and not self.layer3_unfrozen:
+            # after the unfreeze epoch) must still unfreeze on its first epoch.
+            # reference_quirk_frozen_layer3 reproduces the reference exactly:
+            # its optimizer never holds layer3 (built pre-loop over the
+            # phase-1 filter, submodel_trainer.py:647-651), so its "unfreeze"
+            # changes no weights — we skip the transition entirely.
+            if (epoch >= unfreeze_epoch and not self.layer3_unfrozen
+                    and not cfg.reference_quirk_frozen_layer3):
                 self.state = steps.unfreeze_layer3(self.state)
                 self.layer3_unfrozen = True
                 # move the gradient-stop boundary down to layer3 (one-time

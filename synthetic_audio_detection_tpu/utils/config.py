@@ -179,6 +179,17 @@ class TrainConfig:
     # Reference-compat "loss over pooled features" quirk is NOT the default;
     # the sane path puts the head in the loss (SURVEY.md §7.3).
     log_every_steps: int = 100
+    # Second reference quirk (verified round 3): its AdamW is constructed
+    # ONCE over filter(requires_grad) BEFORE the epoch loop
+    # (submodel_trainer.py:647-651), so the epochs//3 layer3 "unfreeze"
+    # (:687-691) only sets requires_grad — torch optimizers never update
+    # params outside their param_groups, so reference layer3 weights NEVER
+    # change; the unfreeze adds backward compute and nothing else. Default
+    # False = train layer3 after the unfreeze (the documented intent);
+    # True = reproduce the reference exactly (layer3 stays frozen forever,
+    # and the stop-grad boundary never moves down — faster, like the ref's
+    # wasted backward is skipped too).
+    reference_quirk_frozen_layer3: bool = False
     # input pipeline backend: 'threads' (dependency-light, data/dataset.py)
     # or 'grain' (worker processes, deterministic global shuffle,
     # data/grain_pipeline.py)
