@@ -284,6 +284,8 @@ PRESETS = {
     "native-fft": dict(batch=128, heads=6, input_size=0, dtype="bf16",
                        use_pallas=False, shared_backbone=True,
                        gemm_dft=False),
+    "int8-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
+                        use_pallas=True, shared_backbone=True, int8=True),
 }
 
 
