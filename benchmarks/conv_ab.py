@@ -31,6 +31,10 @@ SHAPES = [
     ("layer2s", 128, 32, 32, 128, 128, 1),
     ("layer3s", 128, 16, 16, 256, 256, 1),
     ("layer4s", 128, 8, 8, 512, 512, 1),
+    # native-mode (128x256 input) layer1: the biggest model stage there
+    # (1.11 ms of 3.83, stage_decomp --input-size native) — C=64 half-fills
+    # the 128 lanes, H=32 is small; screen the s2d fold at this shape
+    ("layer1nat", 128, 32, 64, 64, 64, 1),
 ]
 
 

@@ -76,6 +76,8 @@ class ServingState:
             else:
                 result = self.pipeline.analyze_windows(
                     windows, stamps, smooth=smooth)
+                if per_head:  # all-silent clip: keep the key present
+                    result["per_head"] = []
         return result
 
     def warmup(self) -> None:
