@@ -69,11 +69,15 @@ def _looped(fwd, n_iters: int):
 def _enable_compile_cache() -> None:
     """Persistent compilation cache: repeated bench runs (and the driver's
     round-end run) reuse compiled executables instead of paying multi-minute
-    remote compiles."""
+    remote compiles. TPU backends only — XLA:CPU AOT entries are
+    machine-feature-stamped and can SIGILL when loaded under a different
+    feature set (__graft_entry__ has the full note)."""
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if jax.default_backend() in ("tpu", "axon"):
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/repo/.jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
     except Exception:
         pass  # older jax or read-only fs: cache is an optimization only
 
