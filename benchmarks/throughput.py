@@ -56,6 +56,7 @@ def bench_config(
     s2d_stem: str = "",
     iters: int = 11,
     gemm_dft: bool = True,
+    mel_wpc: int = 1,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -75,7 +76,8 @@ def bench_config(
 
         def fwd(_, windows):
             if use_pallas:
-                z = fused_log_mel(windows, spec, 32_000)
+                z = fused_log_mel(windows, spec, 32_000,
+                                  windows_per_cell=mel_wpc)
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, gemm_dft),
@@ -130,8 +132,9 @@ def bench_config(
             if ch > 1:
                 x = jnp.broadcast_to(x, (*feats.shape, ch))
             e = dc.replace(ens, variables=variables)
-            return fast_ensemble_forward(e, x, s2d_layer1=False,
-                                         s2d_stem=s2d_stem)
+            return fast_ensemble_forward(
+                e, x, s2d_layer1=s2d, s2d_stem=s2d_stem,
+                s2d_min_h=32 if input_size == 0 else 128)
 
         variables_in = ens.variables
     else:
@@ -286,6 +289,22 @@ PRESETS = {
                        gemm_dft=False),
     "int8-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
                         use_pallas=True, shared_backbone=True, int8=True),
+    # windows-per-grid-cell A/B on the fused mel kernel (front end = 46% of
+    # the native batch; fewer grid steps, same matmul shapes)
+    # s2d layer1 at native (composite test; micro screen unresolvable)
+    "fastpath-s2d-native": dict(batch=128, heads=6, input_size=0,
+                                dtype="bf16", use_pallas=True,
+                                shared_backbone=True, fastpath_plain=True,
+                                mono=True, s2d=True),
+    "melwpc2": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True,
+                    mel_wpc=2),
+    "melwpc4": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True,
+                    mel_wpc=4),
+    "melwpc8": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True,
+                    mel_wpc=8),
 }
 
 

@@ -108,6 +108,7 @@ def fast_backbone_apply(
     dtype=jnp.bfloat16,
     s2d_layer1: bool = False,
     s2d_stem: str = "",
+    s2d_min_h: int = 128,
 ) -> jnp.ndarray:
     """[B, H, W, C] → un-pooled feature map (eval mode).
 
@@ -155,9 +156,12 @@ def fast_backbone_apply(
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+    # default min spatial 128 = the measured-positive regime at 512² inputs;
+    # s2d_min_h lets experiments engage the fold at smaller shapes (e.g. the
+    # native mode's 32-row stage 1) where the micro screen is unresolvable
     use_s2d = (
         s2d_layer1 and block == "basic"
-        and y.shape[1] >= 128 and y.shape[1] % 2 == 0
+        and y.shape[1] >= s2d_min_h and y.shape[1] % 2 == 0
     )
     if use_s2d:
         from synthetic_audio_detection_tpu.ops.space_to_depth import (
@@ -206,7 +210,8 @@ def fast_backbone_apply(
 
 def fast_ensemble_per_head_logits(ens, x: jnp.ndarray,
                                   s2d_layer1: bool = False,
-                                  s2d_stem: str = "") -> jnp.ndarray:
+                                  s2d_stem: str = "",
+                                  s2d_min_h: int = 128) -> jnp.ndarray:
     """Shared-backbone ensemble through the fast backbone, PRE-aggregation.
     x: [B, H, W, C] → per-head logits [N, B, 2] (matches
     ensemble_per_head_logits numerics in bf16). s2d_layer1 routes stage 1
@@ -226,6 +231,7 @@ def fast_ensemble_per_head_logits(ens, x: jnp.ndarray,
         dtype=ens.model.dtype,  # honor the model's compute dtype verbatim
         s2d_layer1=s2d_layer1,
         s2d_stem=s2d_stem,
+        s2d_min_h=s2d_min_h,
     )
     head = BinaryHead(dtype=ens.model.dtype)
     head_vars = {
@@ -244,9 +250,11 @@ def fast_ensemble_per_head_logits(ens, x: jnp.ndarray,
 
 def fast_ensemble_forward(ens, x: jnp.ndarray,
                           s2d_layer1: bool = False,
-                          s2d_stem: str = "") -> jnp.ndarray:
+                          s2d_stem: str = "",
+                          s2d_min_h: int = 128) -> jnp.ndarray:
     """[B, H, W, C] → [B, N+1] aggregated ensemble logits (the serving
     surface; aggregation rule model_merger.py:75-91)."""
     from synthetic_audio_detection_tpu.ensemble.multihead import _aggregate
 
-    return _aggregate(fast_ensemble_per_head_logits(ens, x, s2d_layer1, s2d_stem))
+    return _aggregate(fast_ensemble_per_head_logits(
+        ens, x, s2d_layer1, s2d_stem, s2d_min_h))

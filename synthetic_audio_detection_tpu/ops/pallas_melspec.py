@@ -68,12 +68,12 @@ def _plan(cfg: SpectrogramConfig, num_samples: int, sample_rate: int):
 
 
 def _kernel(
-    wave_ref,      # [1, padded//128, 128] f32 (one center-padded window)
+    wave_ref,      # [wpc, padded//128, 128] f32 (center-padded windows)
     window_ref,    # [1, n_fft] f32 periodic Hann
     cos_ref,       # [n_fft, n_bins] bf16
     sin_ref,       # [n_fft, n_bins] bf16
     fb_ref,        # [n_bins, mels_pad] f32
-    out_ref,       # [1, f_pad, mels_pad] f32
+    out_ref,       # [wpc, f_pad, mels_pad] f32
     *,
     n_fft: int,
     hop: int,
@@ -82,48 +82,52 @@ def _kernel(
     top_db: float,
     eps: float,
     n_mels: int,
+    windows_per_cell: int = 1,
 ):
-    x = wave_ref[0, :, :]
-    padded = x.shape[0] * x.shape[1]
-    k = n_fft // hop
-    r = x.reshape(padded // hop, hop)
-    # The frame matrix [n_frames, n_fft] is never materialized (Mosaic cannot
-    # concat sublane-offset slices, and it would cost 2 MB VMEM): the DFT
-    # matmul is accumulated over k hop-wide strips —
-    #   frames[:, i*hop:(i+1)*hop] == r[i : i+n_frames]
-    # so  re = Σ_i (r_i · w_i) @ cos[i*hop:(i+1)*hop, :]
-    re = jnp.zeros((f_pad, cos_ref.shape[1]), jnp.float32)
-    im = jnp.zeros((f_pad, cos_ref.shape[1]), jnp.float32)
-    for i in range(k):
-        part = jax.lax.slice_in_dim(r, i, i + n_frames, axis=0)
-        if f_pad != n_frames:
-            part = jnp.pad(part, ((0, f_pad - n_frames), (0, 0)))
-        w_i = jax.lax.slice_in_dim(window_ref[0, :], i * hop, (i + 1) * hop)
-        xw = (part * w_i[None, :]).astype(jnp.bfloat16)
-        cos_i = jax.lax.slice_in_dim(cos_ref[:, :], i * hop, (i + 1) * hop, axis=0)
-        sin_i = jax.lax.slice_in_dim(sin_ref[:, :], i * hop, (i + 1) * hop, axis=0)
-        re = re + jnp.dot(xw, cos_i, preferred_element_type=jnp.float32)
-        im = im + jnp.dot(xw, sin_i, preferred_element_type=jnp.float32)
-    power = re * re + im * im                           # [f_pad, n_bins]
+    # windows_per_cell > 1 amortizes per-grid-step overhead (fewer cells,
+    # same matmul shapes — the per-window work is a static python loop)
+    for w in range(windows_per_cell):
+        x = wave_ref[w, :, :]
+        padded = x.shape[0] * x.shape[1]
+        k = n_fft // hop
+        r = x.reshape(padded // hop, hop)
+        # The frame matrix [n_frames, n_fft] is never materialized (Mosaic
+        # cannot concat sublane-offset slices, and it would cost 2 MB VMEM):
+        # the DFT matmul is accumulated over k hop-wide strips —
+        #   frames[:, i*hop:(i+1)*hop] == r[i : i+n_frames]
+        # so  re = Σ_i (r_i · w_i) @ cos[i*hop:(i+1)*hop, :]
+        re = jnp.zeros((f_pad, cos_ref.shape[1]), jnp.float32)
+        im = jnp.zeros((f_pad, cos_ref.shape[1]), jnp.float32)
+        for i in range(k):
+            part = jax.lax.slice_in_dim(r, i, i + n_frames, axis=0)
+            if f_pad != n_frames:
+                part = jnp.pad(part, ((0, f_pad - n_frames), (0, 0)))
+            w_i = jax.lax.slice_in_dim(window_ref[0, :], i * hop, (i + 1) * hop)
+            xw = (part * w_i[None, :]).astype(jnp.bfloat16)
+            cos_i = jax.lax.slice_in_dim(cos_ref[:, :], i * hop, (i + 1) * hop, axis=0)
+            sin_i = jax.lax.slice_in_dim(sin_ref[:, :], i * hop, (i + 1) * hop, axis=0)
+            re = re + jnp.dot(xw, cos_i, preferred_element_type=jnp.float32)
+            im = im + jnp.dot(xw, sin_i, preferred_element_type=jnp.float32)
+        power = re * re + im * im                       # [f_pad, n_bins]
 
-    mel = jnp.dot(
-        power.astype(jnp.float32), fb_ref[:, :],
-        preferred_element_type=jnp.float32,
-    )                                                   # [f_pad, mels_pad]
+        mel = jnp.dot(
+            power.astype(jnp.float32), fb_ref[:, :],
+            preferred_element_type=jnp.float32,
+        )                                               # [f_pad, mels_pad]
 
-    # dB with per-spectrogram top_db clamp — stats over REAL rows/cols only
-    rows = jax.lax.broadcasted_iota(jnp.int32, mel.shape, 0) < n_frames
-    cols = jax.lax.broadcasted_iota(jnp.int32, mel.shape, 1) < n_mels
-    valid = rows & cols
-    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-    db_max = jnp.max(jnp.where(valid, db, -jnp.inf))
-    db = jnp.maximum(db, db_max - top_db)
+        # dB with per-spectrogram top_db clamp — stats over REAL rows/cols
+        rows = jax.lax.broadcasted_iota(jnp.int32, mel.shape, 0) < n_frames
+        cols = jax.lax.broadcasted_iota(jnp.int32, mel.shape, 1) < n_mels
+        valid = rows & cols
+        db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        db_max = jnp.max(jnp.where(valid, db, -jnp.inf))
+        db = jnp.maximum(db, db_max - top_db)
 
-    n_valid = n_frames * n_mels
-    mean = jnp.sum(jnp.where(valid, db, 0.0)) / n_valid
-    var = jnp.sum(jnp.where(valid, (db - mean) ** 2, 0.0)) / max(n_valid - 1, 1)
-    z = (db - mean) / (jnp.sqrt(var) + eps)
-    out_ref[0, :, :] = jnp.where(valid, z, 0.0)
+        n_valid = n_frames * n_mels
+        mean = jnp.sum(jnp.where(valid, db, 0.0)) / n_valid
+        var = jnp.sum(jnp.where(valid, (db - mean) ** 2, 0.0)) / max(n_valid - 1, 1)
+        z = (db - mean) / (jnp.sqrt(var) + eps)
+        out_ref[w, :, :] = jnp.where(valid, z, 0.0)
 
 
 def fused_log_mel(
@@ -131,12 +135,17 @@ def fused_log_mel(
     cfg: SpectrogramConfig,
     sample_rate: int = 32_000,
     interpret: bool = False,
+    windows_per_cell: int = 1,
 ) -> jnp.ndarray:
     """[B, T] → [B, n_mels, n_frames] standardized log-mel (no resize),
     numerically equal to ops.melspec.log_mel_features(..., resize=False)
     transposed, via one fused Pallas kernel. `interpret=True` runs the
-    kernel in interpreter mode (CPU testing)."""
+    kernel in interpreter mode (CPU testing). `windows_per_cell` processes
+    that many windows per grid cell (must divide B) — same matmul shapes,
+    fewer grid steps; measured A/B in throughput.py melwpc presets."""
     B, T = waveforms.shape
+    if B % windows_per_cell != 0:
+        windows_per_cell = 1
     pad, tail, padded, n_frames, f_pad, n_bins, mels_pad, fb = _plan(
         cfg, T, sample_rate
     )
@@ -154,6 +163,7 @@ def fused_log_mel(
     x = x.reshape(B, padded // 128, 128)
     window = np.asarray(melspec.hann_window(cfg.n_fft))[None, :]
 
+    wpc = windows_per_cell
     kernel = functools.partial(
         _kernel,
         n_fft=cfg.n_fft,
@@ -163,12 +173,13 @@ def fused_log_mel(
         top_db=float(cfg.top_db),
         eps=cfg.eps,
         n_mels=cfg.n_mels,
+        windows_per_cell=wpc,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // wpc,),
         in_specs=[
-            pl.BlockSpec((1, padded // 128, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((wpc, padded // 128, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cfg.n_fft), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -179,7 +190,7 @@ def fused_log_mel(
             pl.BlockSpec((n_bins, mels_pad), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, f_pad, mels_pad), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((wpc, f_pad, mels_pad), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, f_pad, mels_pad), jnp.float32),
         interpret=interpret,

@@ -40,3 +40,24 @@ def test_fused_short_window(rng):
     # standardized: near-zero mean, near-unit std over real cells
     assert abs(got.mean()) < 1e-3
     assert abs(got.std() - 1.0) < 0.05
+
+
+def test_fused_kernel_windows_per_cell_parity(rng):
+    """windows_per_cell > 1 (fewer grid steps) is numerically identical to
+    the per-window kernel — same per-window math, only the grid packing
+    changes."""
+    from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+    from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
+
+    cfg = SpectrogramConfig(mel_norm="slaney", out_size=0)
+    w = jnp.asarray(
+        (rng.standard_normal((4, 32_000)) * 0.3).astype(np.float32))
+    base = np.asarray(fused_log_mel(w, cfg, interpret=True))
+    for wpc in (2, 4):
+        got = np.asarray(
+            fused_log_mel(w, cfg, interpret=True, windows_per_cell=wpc))
+        np.testing.assert_array_equal(got, base)
+    # non-dividing wpc silently falls back to 1
+    odd = np.asarray(
+        fused_log_mel(w[:3], cfg, interpret=True, windows_per_cell=2))
+    np.testing.assert_array_equal(odd, base[:3])
