@@ -103,7 +103,9 @@ def _measure_config(ens, out_size: int, on_tpu: bool, iters: int = ITERS) -> flo
         use_gemm_dft=True,
         compute_dtype=jnp.bfloat16,
         use_pallas=on_tpu,  # fused mel kernel on TPU
-        use_fast_backbone=on_tpu,  # folded-affine backbone: +3.3% measured
+        # folded-affine backbone: +3.3% at 512²; at native the flax+mono
+        # path measured faster (throughput.py sweep) — match serving's gate
+        use_fast_backbone=on_tpu and out_size != 0,
     )
 
     rng = np.random.default_rng(0)

@@ -288,11 +288,16 @@ class InferencePipeline:
         if use_fast_backbone is None:
             # auto: throughput serving (shared backbone, reduced dtype, TPU)
             # through the folded-affine functional backbone — measured +3.3%
+            # at 512². NOT at native: the flax path + mono fold measured
+            # FASTER there (34,981 vs 32,628 seg/s, same-process sweep with
+            # the wpc=4 mel kernel — throughput.py mono-native vs
+            # fastpath-mono-native)
             use_fast_backbone = (
                 jax.default_backend() in ("tpu", "axon")
                 and jnp.dtype(self.compute_dtype) != jnp.float32
                 and self.ensemble.shared_backbone
                 and not self.use_s2d_layer1
+                and not self.spec.is_native
             )
         self.use_fast_backbone = use_fast_backbone
 

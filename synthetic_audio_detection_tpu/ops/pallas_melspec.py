@@ -135,14 +135,16 @@ def fused_log_mel(
     cfg: SpectrogramConfig,
     sample_rate: int = 32_000,
     interpret: bool = False,
-    windows_per_cell: int = 1,
+    windows_per_cell: int = 4,
 ) -> jnp.ndarray:
     """[B, T] → [B, n_mels, n_frames] standardized log-mel (no resize),
     numerically equal to ops.melspec.log_mel_features(..., resize=False)
     transposed, via one fused Pallas kernel. `interpret=True` runs the
     kernel in interpreter mode (CPU testing). `windows_per_cell` processes
-    that many windows per grid cell (must divide B) — same matmul shapes,
-    fewer grid steps; measured A/B in throughput.py melwpc presets."""
+    that many windows per grid cell (falls back to 1 unless it divides B) —
+    same matmul shapes, fewer grid steps. Measured A/B (throughput.py
+    melwpc2/4/8 at B=128): 1.74 / 1.70 / 1.86 ms vs 1.85 at wpc=1 — wpc=4
+    is the default (+8% front end); 8 regresses (VMEM pressure)."""
     B, T = waveforms.shape
     if B % windows_per_cell != 0:
         windows_per_cell = 1
