@@ -27,14 +27,12 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
-import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from synthetic_audio_detection_tpu.audio import wavio
 from synthetic_audio_detection_tpu.ensemble.multihead import (
     MultiHeadEnsemble,
     _aggregate,

@@ -8,8 +8,6 @@ padded shape, pad-neutrality (zero == post-standardization mean), config
 round-trip, CLI parsing, end-to-end pipeline, and the train step.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

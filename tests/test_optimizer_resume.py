@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from synthetic_audio_detection_tpu.checkpoints import serialization, torch_compat
+from synthetic_audio_detection_tpu.checkpoints import torch_compat
 from synthetic_audio_detection_tpu.train import steps
 from synthetic_audio_detection_tpu.train.trainer import Trainer
 from synthetic_audio_detection_tpu.utils.config import (
