@@ -162,11 +162,7 @@ def test_fresh_moments_would_diverge(torch_ckpt):
     updates = jax.tree_util.tree_map(lambda u, mk: u * mk, updates, mask)
     new_params = optax.apply_updates(trainer.state.params, updates)
 
-    restored = steps.replace_adam_state(
-        trainer.state.opt_state, 0, None, None)  # unused; just silence lint
-    del restored
     # compare against the properly-resumed trajectory leaf
-    k = ("base", "layer4_0", "conv1", "kernel")
     opt_state = trainer.state.opt_state
     opt_state.hyperparams["lr"] = LR * trainer.state.lr_scale
     upd2, _ = trainer.tx.update(grads, opt_state, trainer.state.params)
