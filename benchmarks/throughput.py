@@ -382,6 +382,8 @@ def main() -> None:
     p.add_argument("--input-size", type=parse_input_size)
     p.add_argument("--dtype", choices=["bf16", "f32"])
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--backbone", type=str, default=None,
+                   help="override the preset backbone (resnet18/34/50/...)")
     p.add_argument("--iters", type=int, default=11,
                    help="loop iterations for the N-vs-1 differencing; raise "
                    "for sub-ms configs near the tunnel's timing noise floor")
@@ -408,6 +410,8 @@ def main() -> None:
             cfg["dtype"] = args.dtype
         if args.no_pallas:
             cfg["use_pallas"] = False
+        if args.backbone:
+            cfg["backbone"] = args.backbone
         result = bench_config(**cfg, iters=args.iters)
         print(json.dumps({"config": name, **result}))
 
