@@ -142,6 +142,21 @@ def power_spectrogram(
     return p
 
 
+def significant_bins(fb: np.ndarray, rel_tol: float = 1e-7) -> int:
+    """Number of leading frequency bins carrying non-negligible mel weight.
+
+    The triangle filters end exactly at f_max, so the bin sitting on f_max
+    should weigh 0 — but the mel↔Hz round trip leaves ~1e-15 of float dust
+    there (row 768 weighs 6.5e-15 at the 32 kHz / f_max=12 kHz defaults),
+    which a strict nonzero test counts, pushing the GEMM-DFT from 768 to 769
+    columns and — after lane alignment — to 896 (+14% DFT FLOPs for a bin
+    whose contribution is below f32 resolution). Thresholding at
+    ``rel_tol × max(row_sum)`` drops only such dust rows."""
+    row_sums = fb.sum(axis=1)
+    keep = np.nonzero(row_sums > rel_tol * row_sums.max())[0]
+    return int(keep[-1]) + 1
+
+
 @functools.lru_cache(maxsize=8)
 def _dft_matrices(n_fft: int, n_cols: int) -> tuple:
     """Real/imag DFT matrices [n_fft, n_cols] for the GEMM-native (MXU) path."""
@@ -215,8 +230,8 @@ def mel_spectrogram(
         cfg.mel_norm, cfg.mel_scale,
     )
     if use_gemm_dft:
-        # Only bins with nonzero mel weight contribute (host-side, static).
-        n_cols = int(np.max(np.nonzero(fb_np.sum(axis=1))[0])) + 1
+        # Only bins with significant mel weight contribute (host-side, static).
+        n_cols = significant_bins(fb_np)
         p = power_spectrogram_gemm(frames, window, n_cols, cfg.power)
         fb = jnp.asarray(fb_np[:n_cols])
     else:

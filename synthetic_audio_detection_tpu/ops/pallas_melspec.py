@@ -60,8 +60,7 @@ def _plan(cfg: SpectrogramConfig, num_samples: int, sample_rate: int):
         cfg.n_freqs, cfg.f_min, cfg.f_max, cfg.n_mels, sample_rate,
         cfg.mel_norm, cfg.mel_scale,
     )
-    n_bins = int(np.max(np.nonzero(fb.sum(axis=1))[0])) + 1
-    n_bins = _round_up(n_bins, 128)
+    n_bins = _round_up(melspec.significant_bins(fb), 128)
     f_pad = _round_up(n_frames, 8)
     mels_pad = _round_up(cfg.n_mels, 128)
     return pad, padded_align - padded, padded_align, n_frames, f_pad, n_bins, mels_pad, fb
@@ -70,8 +69,7 @@ def _plan(cfg: SpectrogramConfig, num_samples: int, sample_rate: int):
 def _kernel(
     wave_ref,      # [wpc, padded//128, 128] f32 (center-padded windows)
     window_ref,    # [1, n_fft] f32 periodic Hann
-    cos_ref,       # [n_fft, n_bins] bf16
-    sin_ref,       # [n_fft, n_bins] bf16
+    cs_ref,        # [n_fft, 2*n_bins] bf16 — cos | sin side by side
     fb_ref,        # [n_bins, mels_pad] f32
     out_ref,       # [wpc, f_pad, mels_pad] f32
     *,
@@ -84,6 +82,7 @@ def _kernel(
     n_mels: int,
     windows_per_cell: int = 1,
 ):
+    n_bins = cs_ref.shape[1] // 2
     # windows_per_cell > 1 amortizes per-grid-step overhead (fewer cells,
     # same matmul shapes — the per-window work is a static python loop)
     for w in range(windows_per_cell):
@@ -95,19 +94,22 @@ def _kernel(
         # cannot concat sublane-offset slices, and it would cost 2 MB VMEM):
         # the DFT matmul is accumulated over k hop-wide strips —
         #   frames[:, i*hop:(i+1)*hop] == r[i : i+n_frames]
-        # so  re = Σ_i (r_i · w_i) @ cos[i*hop:(i+1)*hop, :]
-        re = jnp.zeros((f_pad, cos_ref.shape[1]), jnp.float32)
-        im = jnp.zeros((f_pad, cos_ref.shape[1]), jnp.float32)
+        # so  re|im = Σ_i (r_i · w_i) @ cs[i*hop:(i+1)*hop, :].
+        # cos and sin ride ONE matmul per strip (concatenated host-side along
+        # N — lane concat inside the kernel would crash the compile helper,
+        # but a pre-concatenated constant is just a wider operand): half the
+        # dispatches, N=2·n_bins, same FLOPs.
+        acc = jnp.zeros((f_pad, 2 * n_bins), jnp.float32)
         for i in range(k):
             part = jax.lax.slice_in_dim(r, i, i + n_frames, axis=0)
             if f_pad != n_frames:
                 part = jnp.pad(part, ((0, f_pad - n_frames), (0, 0)))
             w_i = jax.lax.slice_in_dim(window_ref[0, :], i * hop, (i + 1) * hop)
             xw = (part * w_i[None, :]).astype(jnp.bfloat16)
-            cos_i = jax.lax.slice_in_dim(cos_ref[:, :], i * hop, (i + 1) * hop, axis=0)
-            sin_i = jax.lax.slice_in_dim(sin_ref[:, :], i * hop, (i + 1) * hop, axis=0)
-            re = re + jnp.dot(xw, cos_i, preferred_element_type=jnp.float32)
-            im = im + jnp.dot(xw, sin_i, preferred_element_type=jnp.float32)
+            cs_i = jax.lax.slice_in_dim(cs_ref[:, :], i * hop, (i + 1) * hop, axis=0)
+            acc = acc + jnp.dot(xw, cs_i, preferred_element_type=jnp.float32)
+        re = jax.lax.slice_in_dim(acc, 0, n_bins, axis=1)
+        im = jax.lax.slice_in_dim(acc, n_bins, 2 * n_bins, axis=1)
         power = re * re + im * im                       # [f_pad, n_bins]
 
         mel = jnp.dot(
@@ -135,7 +137,7 @@ def fused_log_mel(
     cfg: SpectrogramConfig,
     sample_rate: int = 32_000,
     interpret: bool = False,
-    windows_per_cell: int = 4,
+    windows_per_cell: int = 2,
 ) -> jnp.ndarray:
     """[B, T] → [B, n_mels, n_frames] standardized log-mel (no resize),
     numerically equal to ops.melspec.log_mel_features(..., resize=False)
@@ -143,8 +145,11 @@ def fused_log_mel(
     kernel in interpreter mode (CPU testing). `windows_per_cell` processes
     that many windows per grid cell (falls back to 1 unless it divides B) —
     same matmul shapes, fewer grid steps. Measured A/B (throughput.py
-    melwpc2/4/8 at B=128): 1.74 / 1.70 / 1.86 ms vs 1.85 at wpc=1 — wpc=4
-    is the default (+8% front end); 8 regresses (VMEM pressure)."""
+    melwpc2/4/8 at B=128, combined-cs + trimmed-bin kernel): 1.47 / 1.52 /
+    1.69 ms vs 1.61 at wpc=1 — wpc=2 is the default; 8 regresses (VMEM
+    pressure). (The pre-round-3-finale split-cos/sin 896-bin kernel measured
+    1.85/1.74/1.70/1.86 at wpc 1/2/4/8 — the combined matrix + dust-bin trim
+    moved the optimum.)"""
     B, T = waveforms.shape
     if B % windows_per_cell != 0:
         windows_per_cell = 1
@@ -152,8 +157,7 @@ def fused_log_mel(
         cfg, T, sample_rate
     )
     cos_np, sin_np = melspec._dft_matrices(cfg.n_fft, n_bins)
-    cos = jnp.asarray(cos_np, jnp.bfloat16)
-    sin = jnp.asarray(sin_np, jnp.bfloat16)
+    cs = jnp.asarray(np.concatenate([cos_np, sin_np], axis=1), jnp.bfloat16)
     fb_p = np.zeros((n_bins, mels_pad), np.float32)
     rows = min(n_bins, fb.shape[0])
     fb_p[:rows, : cfg.n_mels] = fb[:rows]
@@ -185,9 +189,7 @@ def fused_log_mel(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cfg.n_fft), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_fft, n_bins), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_fft, n_bins), lambda b: (0, 0),
+            pl.BlockSpec((cfg.n_fft, 2 * n_bins), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_bins, mels_pad), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -196,7 +198,7 @@ def fused_log_mel(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, f_pad, mels_pad), jnp.float32),
         interpret=interpret,
-    )(x, jnp.asarray(window), cos, sin, fb_j)
+    )(x, jnp.asarray(window), cs, fb_j)
 
     # [B, f_pad, mels_pad] → [B, n_mels, n_frames]
     return jnp.transpose(out[:, :n_frames, : cfg.n_mels], (0, 2, 1))
