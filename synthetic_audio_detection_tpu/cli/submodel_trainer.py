@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", action="store_true", help="Evaluate model on validation set")
     p.add_argument("--Class0", default="Real", type=str, help="Name of Class 0 eg. Real")
     p.add_argument("--Class1", default="Class1", type=str, help="Name of Class 1 eg. Training platform")
+    p.add_argument("--hard-negative-classes", nargs="*", default=[],
+                   metavar="CLASS",
+                   help="Additional class folders trained as Class0 (hard "
+                   "negatives): makes this head answer 'this generator?' "
+                   "instead of 'synthetic?', fixing ensemble-attribution "
+                   "argmax ties between saturated heads (attribution 0.667 "
+                   "-> 1.000 on the 3-class study, docs/PERFORMANCE.md; "
+                   "binary detection is unaffected via the any-head rule)")
     p.add_argument("--model-name", default="resnet18", type=str, choices=BACKBONES)
     p.add_argument("--log-dir", default="", type=str,
                    help="TensorBoard log dir (default runs/experiment_<ts>)")
@@ -139,6 +147,7 @@ def main(argv=None) -> int:
         resume=args.resume,
         class0=args.Class0,
         class1=args.Class1,
+        hard_negative_classes=tuple(args.hard_negative_classes),
         data_backend=args.data_backend,
         s2d_stage1=_resolve_s2d(args),
         stop_grad_boundary=args.stop_grad_boundary,

@@ -39,13 +39,38 @@ SEGMENT_SAMPLES = 4 * 32_000
 MIN_LENGTH_RATIO = 0.9
 
 
+def derive_epoch_seed(seed: int, epoch_idx: int) -> int:
+    """fold_in-style (splitmix64 finalizer) per-epoch shuffle seed —
+    adjacent-seed streams of some generators correlate, so ``seed + epoch``
+    is avoided everywhere batchers derive epoch seeds."""
+    z = ((seed & 0xFFFFFFFF) << 32) | (epoch_idx & 0xFFFFFFFF)
+    z = (z + 0x9E3779B97F4A7C15) & (2**64 - 1)
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+    return (z ^ (z >> 31)) & 0x7FFFFFFF
+
+
 def list_samples(
-    data_dir: str, mode: str, class_names: Sequence[str]
+    data_dir: str,
+    mode: str,
+    class_names: Sequence[str],
+    extra_negative_classes: Sequence[str] = (),
 ) -> List[Tuple[str, int]]:
     """[(path, label)] from the dataset tree contract (dataset tree built by
-    data.etl.split_dataset; consumed as at submodel_trainer.py:118-137)."""
+    data.etl.split_dataset; consumed as at submodel_trainer.py:118-137).
+
+    ``extra_negative_classes`` folds additional class folders into label 0
+    (hard negatives): a one-vs-rest head trained only on Real-vs-SynthX never
+    sees other generators, so any synthetic can fire it and attribution
+    argmax ties at saturated sigmoids (the reference shares this failure —
+    its per-head datasets are binary too, submodel_trainer.py:118-137).
+    Training each head with the *other* synth classes as negatives turns it
+    from "synthetic?" into "this generator?", which is what attribution
+    needs; measured study in docs/PERFORMANCE.md."""
+    labeled = [(cls, label) for label, cls in enumerate(class_names)]
+    labeled += [(cls, 0) for cls in extra_negative_classes]
     samples = []
-    for label, cls in enumerate(class_names):
+    for cls, label in labeled:
         cls_dir = os.path.join(data_dir, mode, cls)
         if not os.path.isdir(cls_dir):
             raise FileNotFoundError(f"missing class folder: {cls_dir}")
@@ -136,7 +161,7 @@ class WaveformBatcher:
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         order = list(self.samples)
         if self.shuffle:
-            random.Random(self.seed + epoch_idx).shuffle(order)
+            random.Random(derive_epoch_seed(self.seed, epoch_idx)).shuffle(order)
         chunks = [
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)

@@ -63,14 +63,7 @@ class _GrainBatcher:
             make_grain_loader,
         )
 
-        # fold_in-style derivation (splitmix64 finalizer) rather than
-        # seed + epoch: adjacent-seed streams of some generators correlate,
-        # and nothing else in the repo relies on additive seeding
-        z = ((self.seed & 0xFFFFFFFF) << 32 | (epoch_idx & 0xFFFFFFFF))
-        z = (z + 0x9E3779B97F4A7C15) & (2**64 - 1)
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
-        epoch_seed = (z ^ (z >> 31)) & 0x7FFFFFFF
+        epoch_seed = ds.derive_epoch_seed(self.seed, epoch_idx)
         yield from make_grain_loader(
             self.samples, self.batch_size, shuffle=self.shuffle,
             seed=epoch_seed, workers=self.workers,
@@ -389,8 +382,11 @@ class Trainer:
     def fit(self, data_dir: Optional[str] = None) -> float:
         cfg = self.cfg
         data_dir = data_dir or cfg.data_dir
-        train_samples = ds.list_samples(data_dir, "train", self.class_names)
-        val_samples = ds.list_samples(data_dir, "test", self.class_names)
+        extra_neg = tuple(cfg.hard_negative_classes)
+        train_samples = ds.list_samples(data_dir, "train", self.class_names,
+                                        extra_negative_classes=extra_neg)
+        val_samples = ds.list_samples(data_dir, "test", self.class_names,
+                                      extra_negative_classes=extra_neg)
         make = (_GrainBatcher if cfg.data_backend == "grain"
                 else ds.WaveformBatcher)
         train_batcher = make(

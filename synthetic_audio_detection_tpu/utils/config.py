@@ -171,6 +171,14 @@ class TrainConfig:
     resume: str = ""
     class0: str = "Real"
     class1: str = "Class1"
+    # Other generators' class folders folded into class0 as hard negatives.
+    # A head trained only Real-vs-SynthX answers "synthetic?" — ANY
+    # generator fires it and ensemble attribution argmax ties at saturated
+    # sigmoids (the reference's per-head binary datasets share the failure).
+    # Hard negatives make the head answer "this generator?"; binary
+    # detection still works through the ensemble's any-head rule. Measured:
+    # attribution 0.667 → 1.000 on the 3-class study (docs/PERFORMANCE.md).
+    hard_negative_classes: tuple = ()
     # ReduceLROnPlateau(mode='min', factor=0.5, patience=2)
     plateau_factor: float = 0.5
     plateau_patience: int = 2

@@ -458,3 +458,43 @@ def test_reference_quirk_frozen_layer3(tmp_path):
     assert not np.array_equal(
         np.asarray(sane.state.params["base"]["layer3_0"]["conv1"]["kernel"]),
         l3_init2)
+
+
+def test_list_samples_hard_negative_classes(tmp_path):
+    """extra_negative_classes folds other generators' folders into label 0
+    (the attribution hard-negative recipe, docs/PERFORMANCE.md) without
+    disturbing the per-class labels the legacy N-class trainer relies on."""
+    from synthetic_audio_detection_tpu.data import dataset as ds
+
+    for cls in ("Real", "SynthA", "SynthB"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            (d / f"{cls.lower()}_{i}.wav").write_bytes(b"")
+
+    plain = ds.list_samples(str(tmp_path), "train", ["Real", "SynthA"])
+    assert [lb for _, lb in plain] == [0, 0, 1, 1]
+
+    hn = ds.list_samples(str(tmp_path), "train", ["Real", "SynthA"],
+                         extra_negative_classes=["SynthB"])
+    assert [lb for _, lb in hn] == [0, 0, 1, 1, 0, 0]
+    assert all("SynthB" in p for p, lb in hn[4:])
+
+    # N-class enumeration unchanged (legacy trainer contract)
+    nclass = ds.list_samples(str(tmp_path), "train",
+                             ["Real", "SynthA", "SynthB"])
+    assert [lb for _, lb in nclass] == [0, 0, 1, 1, 2, 2]
+
+    with pytest.raises(FileNotFoundError):
+        ds.list_samples(str(tmp_path), "train", ["Real", "SynthA"],
+                        extra_negative_classes=["Nope"])
+
+
+def test_epoch_seed_derivation_decorrelated():
+    """Shuffle seeds come from the splitmix64 finalizer, not seed+epoch:
+    distinct (seed, epoch) pairs must not collide the way additive seeding
+    does (seed=1,epoch=2 vs seed=2,epoch=1)."""
+    from synthetic_audio_detection_tpu.data.dataset import derive_epoch_seed
+
+    seen = {derive_epoch_seed(s, e) for s in range(8) for e in range(8)}
+    assert len(seen) == 64  # additive seeding would give 15
