@@ -57,6 +57,7 @@ def bench_config(
     iters: int = 11,
     gemm_dft: bool = True,
     mel_wpc: int = 1,
+    mel_stack: bool = False,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -77,7 +78,8 @@ def bench_config(
         def fwd(_, windows):
             if use_pallas:
                 z = fused_log_mel(windows, spec, 32_000,
-                                  windows_per_cell=mel_wpc)
+                                  windows_per_cell=mel_wpc,
+                                  stack_windows=mel_stack)
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, gemm_dft),
@@ -305,6 +307,14 @@ PRESETS = {
     "melwpc8": dict(batch=128, heads=1, input_size=0, dtype="bf16",
                     use_pallas=True, shared_backbone=True, melonly=True,
                     mel_wpc=8),
+    # M-stacked strips: all wpc windows in ONE [wpc*256, 512] matmul per
+    # strip (pad+add assembly) — k dots/cell instead of wpc*k, 2x/4x M
+    "melstack2": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                      use_pallas=True, shared_backbone=True, melonly=True,
+                      mel_wpc=2, mel_stack=True),
+    "melstack4": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                      use_pallas=True, shared_backbone=True, melonly=True,
+                      mel_wpc=4, mel_stack=True),
 }
 
 

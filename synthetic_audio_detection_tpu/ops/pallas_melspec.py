@@ -81,55 +81,89 @@ def _kernel(
     eps: float,
     n_mels: int,
     windows_per_cell: int = 1,
+    stack_windows: bool = False,
 ):
     n_bins = cs_ref.shape[1] // 2
-    # windows_per_cell > 1 amortizes per-grid-step overhead (fewer cells,
-    # same matmul shapes — the per-window work is a static python loop)
-    for w in range(windows_per_cell):
+    wpc = windows_per_cell
+    k = n_fft // hop
+
+    def strip_xw(w: int, i: int, w_i):
+        """Strip i of window w: [f_pad, hop] bf16 windowed frame rows."""
         x = wave_ref[w, :, :]
-        padded = x.shape[0] * x.shape[1]
-        k = n_fft // hop
-        r = x.reshape(padded // hop, hop)
+        r = x.reshape((x.shape[0] * x.shape[1]) // hop, hop)
         # The frame matrix [n_frames, n_fft] is never materialized (Mosaic
         # cannot concat sublane-offset slices, and it would cost 2 MB VMEM):
         # the DFT matmul is accumulated over k hop-wide strips —
         #   frames[:, i*hop:(i+1)*hop] == r[i : i+n_frames]
         # so  re|im = Σ_i (r_i · w_i) @ cs[i*hop:(i+1)*hop, :].
-        # cos and sin ride ONE matmul per strip (concatenated host-side along
-        # N — lane concat inside the kernel would crash the compile helper,
-        # but a pre-concatenated constant is just a wider operand): half the
-        # dispatches, N=2·n_bins, same FLOPs.
-        acc = jnp.zeros((f_pad, 2 * n_bins), jnp.float32)
-        for i in range(k):
-            part = jax.lax.slice_in_dim(r, i, i + n_frames, axis=0)
-            if f_pad != n_frames:
-                part = jnp.pad(part, ((0, f_pad - n_frames), (0, 0)))
-            w_i = jax.lax.slice_in_dim(window_ref[0, :], i * hop, (i + 1) * hop)
-            xw = (part * w_i[None, :]).astype(jnp.bfloat16)
-            cs_i = jax.lax.slice_in_dim(cs_ref[:, :], i * hop, (i + 1) * hop, axis=0)
-            acc = acc + jnp.dot(xw, cs_i, preferred_element_type=jnp.float32)
-        re = jax.lax.slice_in_dim(acc, 0, n_bins, axis=1)
-        im = jax.lax.slice_in_dim(acc, n_bins, 2 * n_bins, axis=1)
-        power = re * re + im * im                       # [f_pad, n_bins]
+        part = jax.lax.slice_in_dim(r, i, i + n_frames, axis=0)
+        if f_pad != n_frames:
+            part = jnp.pad(part, ((0, f_pad - n_frames), (0, 0)))
+        return (part * w_i[None, :]).astype(jnp.bfloat16)
 
-        mel = jnp.dot(
-            power.astype(jnp.float32), fb_ref[:, :],
-            preferred_element_type=jnp.float32,
-        )                                               # [f_pad, mels_pad]
-
-        # dB with per-spectrogram top_db clamp — stats over REAL rows/cols
+    def standardize_to(mel, w: int):
+        """dB + top_db clamp + per-spectrogram stats over REAL rows/cols,
+        written to out_ref[w]."""
         rows = jax.lax.broadcasted_iota(jnp.int32, mel.shape, 0) < n_frames
         cols = jax.lax.broadcasted_iota(jnp.int32, mel.shape, 1) < n_mels
         valid = rows & cols
         db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
         db_max = jnp.max(jnp.where(valid, db, -jnp.inf))
         db = jnp.maximum(db, db_max - top_db)
-
         n_valid = n_frames * n_mels
         mean = jnp.sum(jnp.where(valid, db, 0.0)) / n_valid
         var = jnp.sum(jnp.where(valid, (db - mean) ** 2, 0.0)) / max(n_valid - 1, 1)
         z = (db - mean) / (jnp.sqrt(var) + eps)
         out_ref[w, :, :] = jnp.where(valid, z, 0.0)
+
+    # cos and sin ride ONE matmul per strip (concatenated host-side along
+    # N — lane concat inside the kernel would crash the compile helper,
+    # but a pre-concatenated constant is just a wider operand): half the
+    # dispatches, N=2·n_bins, same FLOPs.
+    if stack_windows and wpc > 1:
+        # M-stacked: all wpc windows ride each strip matmul as one
+        # [wpc·f_pad, hop] operand — wider M per dot, k dots per cell
+        # instead of wpc·k. The stack is assembled by zero-pad + add
+        # (sublane concat of computed values is a Mosaic no-go; the pads
+        # are trivial VPU work against a [512, hop] tile).
+        acc = jnp.zeros((wpc * f_pad, 2 * n_bins), jnp.float32)
+        for i in range(k):
+            w_i = jax.lax.slice_in_dim(window_ref[0, :], i * hop, (i + 1) * hop)
+            xw_all = None
+            for w in range(wpc):
+                p = jnp.pad(strip_xw(w, i, w_i),
+                            ((w * f_pad, (wpc - 1 - w) * f_pad), (0, 0)))
+                xw_all = p if xw_all is None else xw_all + p
+            cs_i = jax.lax.slice_in_dim(cs_ref[:, :], i * hop, (i + 1) * hop, axis=0)
+            acc = acc + jnp.dot(xw_all, cs_i, preferred_element_type=jnp.float32)
+        re = jax.lax.slice_in_dim(acc, 0, n_bins, axis=1)
+        im = jax.lax.slice_in_dim(acc, n_bins, 2 * n_bins, axis=1)
+        power = re * re + im * im               # [wpc·f_pad, n_bins]
+        mel_all = jnp.dot(power.astype(jnp.float32), fb_ref[:, :],
+                          preferred_element_type=jnp.float32)
+        for w in range(wpc):
+            standardize_to(
+                jax.lax.slice_in_dim(mel_all, w * f_pad, (w + 1) * f_pad,
+                                     axis=0), w)
+        return
+
+    # windows_per_cell > 1 amortizes per-grid-step overhead (fewer cells,
+    # same matmul shapes — the per-window work is a static python loop)
+    for w in range(wpc):
+        acc = jnp.zeros((f_pad, 2 * n_bins), jnp.float32)
+        for i in range(k):
+            w_i = jax.lax.slice_in_dim(window_ref[0, :], i * hop, (i + 1) * hop)
+            xw = strip_xw(w, i, w_i)
+            cs_i = jax.lax.slice_in_dim(cs_ref[:, :], i * hop, (i + 1) * hop, axis=0)
+            acc = acc + jnp.dot(xw, cs_i, preferred_element_type=jnp.float32)
+        re = jax.lax.slice_in_dim(acc, 0, n_bins, axis=1)
+        im = jax.lax.slice_in_dim(acc, n_bins, 2 * n_bins, axis=1)
+        power = re * re + im * im                       # [f_pad, n_bins]
+        mel = jnp.dot(
+            power.astype(jnp.float32), fb_ref[:, :],
+            preferred_element_type=jnp.float32,
+        )                                               # [f_pad, mels_pad]
+        standardize_to(mel, w)
 
 
 def fused_log_mel(
@@ -138,6 +172,7 @@ def fused_log_mel(
     sample_rate: int = 32_000,
     interpret: bool = False,
     windows_per_cell: int = 2,
+    stack_windows: bool = False,
 ) -> jnp.ndarray:
     """[B, T] → [B, n_mels, n_frames] standardized log-mel (no resize),
     numerically equal to ops.melspec.log_mel_features(..., resize=False)
@@ -180,6 +215,7 @@ def fused_log_mel(
         eps=cfg.eps,
         n_mels=cfg.n_mels,
         windows_per_cell=wpc,
+        stack_windows=stack_windows,
     )
     out = pl.pallas_call(
         kernel,

@@ -61,3 +61,11 @@ def test_fused_kernel_windows_per_cell_parity(rng):
     odd = np.asarray(
         fused_log_mel(w[:3], cfg, interpret=True, windows_per_cell=2))
     np.testing.assert_array_equal(odd, base[:3])
+    # M-stacked strips: same strip math, one [wpc*f_pad, hop] operand per
+    # dot — the pad+add stack assembly and row-sliced stats must not change
+    # a single value
+    for wpc in (2, 4):
+        got = np.asarray(
+            fused_log_mel(w, cfg, interpret=True, windows_per_cell=wpc,
+                          stack_windows=True))
+        np.testing.assert_array_equal(got, base)
