@@ -96,6 +96,35 @@ def gemm_conv(x, w, scale, bias):
     return jnp.maximum(y * scale + bias, 0.0)
 
 
+def make_b2h_conv(g: int):
+    """Batch-to-height: stack g images along H with their own zero boundary
+    rows ([B,H,W,C] → [B/g, g·(H+2), W, C]) and convolve rows VALID — each
+    image's neighborhood reads its zero separator exactly where SAME padding
+    would read zeros, so the result is bit-exact vs the per-image conv.
+    Screens whether XLA's conv emitter recovers its tall-H rate (~135 TF/s
+    at H=128 in the 512² composite) on the short-H native layer1 shape
+    (H=32, ~70 TF/s). Row overhead (H+2)/H; stack/unstack are reshapes+pads
+    and are COUNTED in the timing."""
+
+    def fn(x, w, scale, bias):
+        B, H, W, C = x.shape
+        F = w.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        tall = xp.reshape(B // g, g * (H + 2), W, C)
+        y = jax.lax.conv_general_dilated(
+            tall.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            window_strides=(1, 1), padding=[(0, 0), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )  # [B/g, g*(H+2)-2, W, F]; image i's rows start at i*(H+2)
+        y = jnp.pad(y, ((0, 0), (0, 2), (0, 0), (0, 0)))
+        y = y.reshape(B // g, g, H + 2, W, F)[:, :, :H]
+        y = y.reshape(B, H, W, F)
+        return jnp.maximum(y * scale + bias, 0.0)
+
+    return fn
+
+
 def make_s2d_conv(w):
     """One-conv s2d folding: runs on s2d(x); weights folded host-side once.
     4x nominal FLOPs at 4x the channel width (TF/s reported vs ORIGINAL
@@ -293,7 +322,8 @@ def main():
                    choices=["lax", "gemm", "pallas", "s2d", "s2d4", "s2dm",
                             "s2dh", "tile4", "tile2h", "int8pure", "int8dynq",
                             "chunk16", "chunk32", "chunk64", "pallasflat",
-                            "pallasnk", "pallasfs"])
+                            "pallasnk", "pallasfs", "b2h2", "b2h4", "b2h8",
+                            "b2h16"])
     p.add_argument("--shapes", nargs="*",
                    default=[s[0] for s in SHAPES],
                    choices=[s[0] for s in SHAPES])
@@ -335,6 +365,11 @@ def main():
                 elif label == "int8dynq":
                     wq = jnp.clip(jnp.round(w / 0.001), -127, 127).astype(jnp.int8)
                     t = timed_loop(int8_conv_dynq, x, wq, scale, bias)
+                elif label.startswith("b2h"):
+                    g = int(label[3:])
+                    if B % g:
+                        raise ValueError(f"batch {B} not divisible by {g}")
+                    t = timed_loop(make_b2h_conv(g), x, w, scale, bias)
                 else:
                     fn = {"lax": lax_conv, "gemm": gemm_conv,
                           "pallas": pallas_conv, "tile4": tile4_conv,
