@@ -28,15 +28,27 @@ sys.path.insert(0, ".")  # repo root
 
 
 def measure(fwd, variables, windows, iters: int = 11) -> float:
-    """Per-iteration seconds via N-vs-1 chained-loop differencing."""
+    """Per-iteration seconds via N-vs-1 chained-loop differencing.
+
+    Median-of-3 on BOTH endpoints (as bench.py): a single t1/tN sample rides
+    one tunnel round trip whose latency jitters by tens of ms — enough to
+    produce physically impossible readings on sub-ms-per-iter configs (a
+    round-3 run read the mel kernel at 294 TF/s nominal, above the chip's
+    197 peak, from one polluted t1)."""
     from bench import _looped
 
     run1 = _looped(fwd, 1)
     runN = _looped(fwd, iters)
     float(run1(variables, windows))
     float(runN(variables, windows))
-    t0 = time.perf_counter(); float(run1(variables, windows)); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(runN(variables, windows)); tn = time.perf_counter() - t0
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        float(fn(variables, windows))
+        return time.perf_counter() - t0
+
+    t1 = sorted(timed(run1) for _ in range(3))[1]
+    tn = sorted(timed(runN) for _ in range(3))[1]
     return max((tn - t1) / (iters - 1), 1e-9)
 
 
@@ -58,6 +70,8 @@ def bench_config(
     gemm_dft: bool = True,
     mel_wpc: int = 1,
     mel_stack: bool = False,
+    mel_factored: bool = False,
+    dft_mode: str = "",
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -72,17 +86,24 @@ def bench_config(
         ens = fold_to_mono(ens)
     spec = SpectrogramConfig(mel_norm="slaney", out_size=input_size)
     if melonly:
-        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import (
+            fused_log_mel,
+            fused_log_mel_factored,
+        )
         from synthetic_audio_detection_tpu.ops import melspec as M
 
         def fwd(_, windows):
-            if use_pallas:
+            if use_pallas and mel_factored:
+                z = fused_log_mel_factored(windows, spec, 32_000,
+                                           windows_per_cell=mel_wpc)
+            elif use_pallas:
                 z = fused_log_mel(windows, spec, 32_000,
                                   windows_per_cell=mel_wpc,
                                   stack_windows=mel_stack)
             else:
                 z = M.standardize(M.amplitude_to_db(
-                    M.mel_spectrogram(windows, spec, 32_000, gemm_dft),
+                    M.mel_spectrogram(windows, spec, 32_000, gemm_dft,
+                                      dft_mode=dft_mode or None),
                     spec.top_db))
             feats = M.finalize_features(z, spec)
             return feats.astype(jnp.bfloat16)
@@ -315,6 +336,26 @@ PRESETS = {
     "melstack4": dict(batch=128, heads=1, input_size=0, dtype="bf16",
                       use_pallas=True, shared_backbone=True, melonly=True,
                       mel_wpc=4, mel_stack=True),
+    # factored (shared hop-block) DFT kernel: one [264,512]x[512,1792] dot
+    # per window (4x fewer DFT MACs than the strip kernel), frames assembled
+    # by {0,±1} phase masks + lane-roll Hann conv (VPU)
+    "melfct1": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True,
+                    mel_factored=True, mel_wpc=1),
+    "melfct2": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True,
+                    mel_factored=True, mel_wpc=2),
+    "melfct4": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True,
+                    mel_factored=True, mel_wpc=4),
+    "melfct8": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                    use_pallas=True, shared_backbone=True, melonly=True,
+                    mel_factored=True, mel_wpc=8),
+    # factored DFT through plain XLA (no Pallas) — fusion/HBM A/B
+    "melonly-native-fct-jnp": dict(batch=128, heads=1, input_size=0,
+                                   dtype="bf16", use_pallas=False,
+                                   shared_backbone=True, melonly=True,
+                                   dft_mode="factored"),
 }
 
 

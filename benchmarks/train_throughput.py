@@ -39,6 +39,9 @@ def main() -> None:
                    "production default (backward only through layer4+head), "
                    "3 = post-unfreeze phase, 0 = full backward (round-1 "
                    "measurement mode)")
+    p.add_argument("--dft-mode", default="", choices=["", "fft", "gemm",
+                                                      "factored"],
+                   help="device-mel DFT path A/B ('' = the step's default)")
     args = p.parse_args()
 
     from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
@@ -61,6 +64,7 @@ def main() -> None:
     train_step = steps.make_train_step(
         model, tx, cfg, spec, SpecAugmentConfig(),
         stop_grad_stage=args.stop_grad,
+        dft_mode=args.dft_mode or None,
     )
 
     rng = np.random.default_rng(0)
@@ -76,7 +80,15 @@ def main() -> None:
 
     def looped(n):
         def body(i, st):
-            st2, m = train_step(st, batch, jax.random.fold_in(
+            # chain the batch through the state so the rng-independent mel
+            # prefix is loop-carried — without this, XLA's while-loop LICM
+            # hoists mel+dB out of the loop and the measurement silently
+            # excludes the front end (caught in round 3; bench.py has always
+            # chained its input for the same reason)
+            eps = (st.params["head"]["out"]["bias"][0] * 1e-30).astype(jnp.float32)
+            b = dict(batch)
+            b["audio"] = batch["audio"] + eps
+            st2, m = train_step(st, b, jax.random.fold_in(
                 jax.random.PRNGKey(7), i))
             return st2
 
@@ -97,6 +109,7 @@ def main() -> None:
     print(json.dumps({
         "backbone": args.backbone,
         "stop_grad": args.stop_grad,
+        "dft_mode": args.dft_mode or "default",
         "batch_rows": args.batch,
         "input_size": args.input_size,
         "ms_per_step": round(per_step * 1e3, 2),

@@ -191,6 +191,85 @@ def power_spectrogram_gemm(
     return p
 
 
+def hop_block_phases(n_fft: int, hop: int, n_cols: int) -> tuple:
+    """Per-strip combine phases for the factored (shared-block) DFT.
+
+    Frame t's full-window DFT decomposes over its k = n_fft/hop hop-blocks:
+        X_t[f] = sum_i exp(-2pij * i*hop*f / n_fft) * Y[t+i, f]
+    where Y[h, f] is hop-block h's 512-sample DFT evaluated at the FULL
+    n_fft-point frequencies (rows [:hop] of the standard DFT matrix) — so
+    each block transform is shared by all k overlapping frames that contain
+    it. Returns (a, b) with a[i, f] + j*b[i, f] = exp(-2pij*i*hop*f/n_fft);
+    the phase depends only on f mod k, so entries are in {0, ±1} for k=4.
+    """
+    k4 = n_fft // hop
+    f = np.arange(n_cols) % k4
+    i = np.arange(k4)[:, None]
+    ang = 2.0 * np.pi * i * f[None, :] / k4
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def power_spectrogram_factored(
+    waveforms: jnp.ndarray,
+    cfg,
+    n_cols: int,
+    power: float = 2.0,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """[B, T] → [B, n_frames, n_cols] power spectrogram via the factored
+    (Cooley-Tukey style) GEMM DFT with the Hann window applied in frequency.
+
+    With hop | n_fft, consecutive frames share all but one of their hop
+    blocks, so the per-frame [n_fft, 2*n_cols] matmul of
+    power_spectrogram_gemm redoes n_fft/hop ≈ 4x work the previous frame
+    already did. Here each hop block rides ONE [hop, 2*(n_cols+1)] matmul
+    (4x fewer MACs at the 2048/512 reference geometry), frames are then
+    assembled by the {0, ±1} phase masks of hop_block_phases (elementwise),
+    and the periodic-Hann window — a 3-tap kernel in frequency — is applied
+    exactly as  Xw[f] = 0.5*X[f] − 0.25*X[f−1] − 0.25*X[f+1]  (circular;
+    X[−1] = conj(X[1]) for real input). Matches power_spectrogram (rFFT,
+    time-domain window) to float tolerance; pinned in tests/test_melspec.py.
+    """
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    if n_fft % hop or cfg.win != n_fft or not cfg.center:
+        raise ValueError("factored DFT requires hop | n_fft == win, center")
+    k4 = n_fft // hop
+    pad = n_fft // 2
+    x = jnp.pad(waveforms, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+    T = x.shape[1]
+    n_frames = 1 + (T - n_fft) // hop
+    if T % hop:
+        x = jnp.pad(x, ((0, 0), (0, hop - T % hop)))
+    blocks = x.reshape(x.shape[0], -1, hop)
+    nraw = n_cols + 1  # one guard bin feeds the window conv's f+1 tap
+    cos_m, sin_m = _dft_matrices(n_fft, nraw)
+    bl = blocks.astype(dtype)
+    y_re = jnp.einsum("bhr,rf->bhf", bl, jnp.asarray(cos_m[:hop], dtype),
+                      preferred_element_type=jnp.float32)
+    y_im = jnp.einsum("bhr,rf->bhf", bl, jnp.asarray(sin_m[:hop], dtype),
+                      preferred_element_type=jnp.float32)
+    a_np, b_np = hop_block_phases(n_fft, hop, nraw)
+    x_re = jnp.zeros_like(y_re[:, :n_frames])
+    x_im = jnp.zeros_like(x_re)
+    for i in range(k4):
+        a = jnp.asarray(a_np[i]); b = jnp.asarray(b_np[i])
+        yr = jax.lax.slice_in_dim(y_re, i, i + n_frames, axis=1)
+        yi = jax.lax.slice_in_dim(y_im, i, i + n_frames, axis=1)
+        x_re = x_re + a * yr - b * yi
+        x_im = x_im + a * yi + b * yr
+    # periodic Hann = 0.5 − 0.25e^{+jw} − 0.25e^{−jw}  ⇒  3-tap conv in f
+    r_re = jnp.concatenate([x_re[..., 1:2], x_re[..., : n_cols - 1]], -1)
+    r_im = jnp.concatenate([-x_im[..., 1:2], x_im[..., : n_cols - 1]], -1)
+    l_re = x_re[..., 1 : n_cols + 1]
+    l_im = x_im[..., 1 : n_cols + 1]
+    w_re = 0.5 * x_re[..., :n_cols] - 0.25 * (r_re + l_re)
+    w_im = 0.5 * x_im[..., :n_cols] - 0.25 * (r_im + l_im)
+    p = w_re * w_re + w_im * w_im
+    if power != 2.0:
+        p = p ** (power / 2.0)
+    return p
+
+
 def amplitude_to_db(x: jnp.ndarray, top_db: Optional[float] = 80.0) -> jnp.ndarray:
     """Power → dB with torchaudio AmplitudeToDB(stype='power') semantics:
     10*log10(clamp(x, 1e-10)), then clamp at (max over each spectrogram's
@@ -221,15 +300,27 @@ def mel_spectrogram(
     cfg: SpectrogramConfig,
     sample_rate: int = 32_000,
     use_gemm_dft: bool = False,
+    dft_mode: Optional[str] = None,
 ) -> jnp.ndarray:
-    """[B, T] waveforms → [B, n_mels, n_frames] power-mel spectrograms."""
-    frames = frame_signal(waveforms, cfg.n_fft, cfg.hop_length, cfg.center, cfg.pad_mode)
-    window = jnp.asarray(hann_window(cfg.win))
+    """[B, T] waveforms → [B, n_mels, n_frames] power-mel spectrograms.
+
+    dft_mode: 'fft' (XLA rFFT op), 'gemm' (direct GEMM DFT over the ≤f_max
+    bins), or 'factored' (shared hop-block GEMM DFT, ~4x fewer MACs). When
+    None, use_gemm_dft selects between 'gemm' and 'fft' (back-compat)."""
+    mode = dft_mode or ("gemm" if use_gemm_dft else "fft")
     fb_np = mel_filterbank(
         cfg.n_freqs, cfg.f_min, cfg.f_max, cfg.n_mels, sample_rate,
         cfg.mel_norm, cfg.mel_scale,
     )
-    if use_gemm_dft:
+    if mode == "factored":
+        n_cols = significant_bins(fb_np)
+        p = power_spectrogram_factored(waveforms, cfg, n_cols, cfg.power)
+        fb = jnp.asarray(fb_np[:n_cols])
+        mel = jnp.einsum("btf,fm->btm", p, fb, preferred_element_type=jnp.float32)
+        return jnp.transpose(mel, (0, 2, 1))
+    frames = frame_signal(waveforms, cfg.n_fft, cfg.hop_length, cfg.center, cfg.pad_mode)
+    window = jnp.asarray(hann_window(cfg.win))
+    if mode == "gemm":
         # Only bins with significant mel weight contribute (host-side, static).
         n_cols = significant_bins(fb_np)
         p = power_spectrogram_gemm(frames, window, n_cols, cfg.power)

@@ -200,6 +200,7 @@ def _features_from_waveforms(
     augment: Optional[SpecAugmentConfig],
     rng: Optional[jax.Array],
     sample_rate: int,
+    dft_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """[B, T] → [B, H, W, 3] standardized spectrogram images, with SpecAugment
     masking applied pre-normalization in train mode (submodel_trainer.py:194-197
@@ -208,7 +209,8 @@ def _features_from_waveforms(
     submodel_trainer.py:465-467 via :207-208). In native mode (out_size=0) the
     crop runs on the TRUE [n_mels, n_frames] content before the frame-axis pad
     so the augmentation never samples pad columns."""
-    mel = melspec.mel_spectrogram(waveforms, spec_cfg, sample_rate)
+    mel = melspec.mel_spectrogram(waveforms, spec_cfg, sample_rate,
+                                  dft_mode=dft_mode)
     db = melspec.amplitude_to_db(mel, spec_cfg.top_db)
     train_mode = augment is not None and augment.enabled and rng is not None
     if train_mode:
@@ -242,6 +244,7 @@ def make_train_step(
     from_waveforms: bool = True,
     reference_quirk_loss: bool = False,
     stop_grad_stage: int = 0,
+    dft_mode: Optional[str] = None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -270,7 +273,8 @@ def make_train_step(
         rng_mask, rng_drop = jax.random.split(rng)
         if from_waveforms:
             x = _features_from_waveforms(
-                batch["audio"], spec_cfg, augment, rng_mask, sample_rate
+                batch["audio"], spec_cfg, augment, rng_mask, sample_rate,
+                dft_mode=dft_mode,
             )
         else:
             x = batch["image"]
@@ -363,6 +367,7 @@ def make_eval_step(
     spec_cfg: SpectrogramConfig,
     sample_rate: int = 32_000,
     from_waveforms: bool = True,
+    dft_mode: Optional[str] = None,
 ) -> Callable:
     """eval_step(variables, batch) -> per-batch sufficient statistics
     (loss-sum, correct-count, per-class confusion counts) so the host can
@@ -371,7 +376,8 @@ def make_eval_step(
     def eval_step(variables, batch):
         if from_waveforms:
             x = _features_from_waveforms(
-                batch["audio"], spec_cfg, None, None, sample_rate
+                batch["audio"], spec_cfg, None, None, sample_rate,
+                dft_mode=dft_mode,
             )
         else:
             x = batch["image"]

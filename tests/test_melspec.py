@@ -56,6 +56,16 @@ def test_gemm_dft_matches_fft_path(rng):
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4)
 
 
+def test_factored_dft_matches_fft_path(rng):
+    """Shared-hop-block DFT + frequency-domain Hann ≡ rFFT + time-domain
+    Hann (exact identity up to float association)."""
+    x = rng.standard_normal((2, 32000)).astype(np.float32) * 0.1
+    cfg = SpectrogramConfig()
+    a = np.asarray(M.mel_spectrogram(jnp.asarray(x), cfg, dft_mode="fft"))
+    b = np.asarray(M.mel_spectrogram(jnp.asarray(x), cfg, dft_mode="factored"))
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4)
+
+
 def test_amplitude_to_db_top_db_per_item(rng):
     x = np.abs(rng.standard_normal((2, 8, 16))).astype(np.float32)
     x[1] *= 1e9  # very different dynamic ranges per item

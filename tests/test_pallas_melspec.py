@@ -6,7 +6,10 @@ import jax.numpy as jnp
 import pytest
 
 from synthetic_audio_detection_tpu.ops import melspec as M
-from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+from synthetic_audio_detection_tpu.ops.pallas_melspec import (
+    fused_log_mel,
+    fused_log_mel_factored,
+)
 from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 
 
@@ -40,6 +43,44 @@ def test_fused_short_window(rng):
     # standardized: near-zero mean, near-unit std over real cells
     assert abs(got.mean()) < 1e-3
     assert abs(got.std() - 1.0) < 0.05
+
+
+@pytest.mark.parametrize("norm", [None, "slaney"])
+def test_factored_kernel_matches_reference_pipeline(rng, norm):
+    """Shared-hop-block DFT kernel (ops/pallas_melspec._factored_kernel) vs
+    the f32 jnp pipeline — same bf16-rounding tolerance budget as the strip
+    kernel (the two kernels' error distributions are equivalent: mean abs
+    ~0.0024 vs ~0.0022 on standardized output)."""
+    cfg = SpectrogramConfig(mel_norm=norm)
+    x = (rng.standard_normal((2, 128_000)) * 0.3).astype(np.float32)
+
+    got = np.asarray(fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True))
+
+    mel = M.mel_spectrogram(jnp.asarray(x), cfg, 32_000, use_gemm_dft=True)
+    db = M.amplitude_to_db(mel, cfg.top_db)
+    ref = np.asarray(M.standardize(db, cfg.eps))
+
+    assert got.shape == ref.shape == (2, 128, 251)
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.15)
+    assert abs(got.mean() - ref.mean()) < 1e-3
+    assert abs(got.std() - ref.std()) < 1e-2
+    assert float(np.mean(np.abs(got - ref))) < 5e-3
+
+
+def test_factored_kernel_short_window_and_wpc(rng):
+    cfg = SpectrogramConfig(mel_norm="slaney", out_size=0)
+    x = (rng.standard_normal((4, 32_000)) * 0.2).astype(np.float32)
+    base = np.asarray(fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True))
+    assert base.shape == (4, 128, 63)
+    assert np.isfinite(base).all()
+    assert abs(base.mean()) < 1e-3
+    for wpc in (2, 4):
+        got = np.asarray(fused_log_mel_factored(
+            jnp.asarray(x), cfg, interpret=True, windows_per_cell=wpc))
+        np.testing.assert_array_equal(got, base)
+    odd = np.asarray(fused_log_mel_factored(
+        jnp.asarray(x[:3]), cfg, interpret=True, windows_per_cell=2))
+    np.testing.assert_array_equal(odd, base[:3])
 
 
 def test_fused_kernel_windows_per_cell_parity(rng):
