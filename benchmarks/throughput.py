@@ -114,14 +114,14 @@ def bench_config(
             quantize_ensemble,
             quantized_ensemble_forward,
         )
-        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import serving_log_mel
         from synthetic_audio_detection_tpu.ops import melspec as M
 
         qens = quantize_ensemble(ens)
 
         def fwd(qvars, windows):
             if use_pallas:
-                z = fused_log_mel(windows, spec, 32_000)
+                z = serving_log_mel(windows, spec, 32_000)
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
@@ -140,12 +140,12 @@ def bench_config(
         from synthetic_audio_detection_tpu.models.fast_resnet import (
             fast_ensemble_forward,
         )
-        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import serving_log_mel
         from synthetic_audio_detection_tpu.ops import melspec as M
 
         def fwd(variables, windows):
             if use_pallas:
-                z = fused_log_mel(windows, spec, 32_000)
+                z = serving_log_mel(windows, spec, 32_000)
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
@@ -375,7 +375,7 @@ def int8_agreement(
         quantize_ensemble,
         quantized_ensemble_forward,
     )
-    from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+    from synthetic_audio_detection_tpu.ops.pallas_melspec import serving_log_mel
     from synthetic_audio_detection_tpu.ops import melspec as M
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
 
@@ -391,7 +391,7 @@ def int8_agreement(
 
     def _fwd_int8(qvars, windows):
         if use_pallas:
-            z = fused_log_mel(windows, spec, 32_000)
+            z = serving_log_mel(windows, spec, 32_000)
         else:
             z = M.standardize(M.amplitude_to_db(
                 M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
@@ -441,6 +441,9 @@ def main() -> None:
     p.add_argument("--agreement", action="store_true",
                    help="Also run the int8-vs-bf16 argmax agreement check")
     args = p.parse_args()
+
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
 
     if args.agreement:
         print(json.dumps(int8_agreement(

@@ -39,9 +39,10 @@ def main() -> None:
                    "production default (backward only through layer4+head), "
                    "3 = post-unfreeze phase, 0 = full backward (round-1 "
                    "measurement mode)")
-    p.add_argument("--dft-mode", default="", choices=["", "fft", "gemm",
-                                                      "factored"],
-                   help="device-mel DFT path A/B ('' = the step's default)")
+    p.add_argument("--dft-mode", nargs="*", default=[""],
+                   choices=["", "fft", "gemm", "factored"],
+                   help="device-mel DFT path(s); several = same-process A/B "
+                   "('' = the step's default)")
     args = p.parse_args()
 
     from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
@@ -52,6 +53,9 @@ def main() -> None:
         TrainConfig,
     )
 
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
+
     cfg = TrainConfig(batch_size=args.batch)
     spec = SpectrogramConfig(out_size=args.input_size)
     model = BinaryClassifier(backbone=args.backbone, dtype=jnp.bfloat16)
@@ -61,11 +65,6 @@ def main() -> None:
     )
     if args.stop_grad == 3:
         state = steps.unfreeze_layer3(state)
-    train_step = steps.make_train_step(
-        model, tx, cfg, spec, SpecAugmentConfig(),
-        stop_grad_stage=args.stop_grad,
-        dft_mode=args.dft_mode or None,
-    )
 
     rng = np.random.default_rng(0)
     batch = {
@@ -78,44 +77,58 @@ def main() -> None:
         "weight": jnp.ones(args.batch, jnp.float32),
     }
 
-    def looped(n):
-        def body(i, st):
-            # chain the batch through the state so the rng-independent mel
-            # prefix is loop-carried — without this, XLA's while-loop LICM
-            # hoists mel+dB out of the loop and the measurement silently
-            # excludes the front end (caught in round 3; bench.py has always
-            # chained its input for the same reason)
-            eps = (st.params["head"]["out"]["bias"][0] * 1e-30).astype(jnp.float32)
-            b = dict(batch)
-            b["audio"] = batch["audio"] + eps
-            st2, m = train_step(st, b, jax.random.fold_in(
-                jax.random.PRNGKey(7), i))
-            return st2
+    for dft_mode in args.dft_mode:
+        train_step = steps.make_train_step(
+            model, tx, cfg, spec, SpecAugmentConfig(),
+            stop_grad_stage=args.stop_grad,
+            dft_mode=dft_mode or None,
+        )
 
-        def run(s):
-            final = jax.lax.fori_loop(0, n, body, s)
-            return final.params["head"]["out"]["bias"].sum()
+        def looped(n):
+            def body(i, st):
+                # chain the batch through the state so the rng-independent
+                # mel prefix is loop-carried — without this, XLA's while-loop
+                # LICM hoists mel+dB out of the loop and the measurement
+                # silently excludes the front end (caught in round 3;
+                # bench.py has always chained its input for the same reason)
+                eps = (st.params["head"]["out"]["bias"][0] * 1e-30).astype(
+                    jnp.float32)
+                b = dict(batch)
+                b["audio"] = batch["audio"] + eps
+                st2, m = train_step(st, b, jax.random.fold_in(
+                    jax.random.PRNGKey(7), i))
+                return st2
 
-        return jax.jit(run)
+            def run(s):
+                final = jax.lax.fori_loop(0, n, body, s)
+                return final.params["head"]["out"]["bias"].sum()
 
-    r1, rn = looped(1), looped(ITERS)
-    float(r1(state)); float(rn(state))
-    t0 = time.perf_counter(); float(r1(state)); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(rn(state)); tn = time.perf_counter() - t0
-    per_step = max((tn - t1) / (ITERS - 1), 1e-9)
+            return jax.jit(run)
 
-    rows_per_sec = args.batch / per_step
-    hours_per_90m = 90e6 / rows_per_sec / 3600
-    print(json.dumps({
-        "backbone": args.backbone,
-        "stop_grad": args.stop_grad,
-        "dft_mode": args.dft_mode or "default",
-        "batch_rows": args.batch,
-        "input_size": args.input_size,
-        "ms_per_step": round(per_step * 1e3, 2),
-        "rows_per_sec_per_chip": round(rows_per_sec, 1),
-        "hours_per_90M_sample_epoch": round(hours_per_90m, 2),
-    }))
+        r1, rn = looped(1), looped(ITERS)
+        float(r1(state)); float(rn(state))
+
+        def timed(fn) -> float:
+            t0 = time.perf_counter()
+            float(fn(state))
+            return time.perf_counter() - t0
+
+        t1 = sorted(timed(r1) for _ in range(3))[1]
+        tn = sorted(timed(rn) for _ in range(3))[1]
+        per_step = max((tn - t1) / (ITERS - 1), 1e-9)
+
+        rows_per_sec = args.batch / per_step
+        hours_per_90m = 90e6 / rows_per_sec / 3600
+        print(json.dumps({
+            "backbone": args.backbone,
+            "stop_grad": args.stop_grad,
+            "dft_mode": dft_mode or "default",
+            "batch_rows": args.batch,
+            "input_size": args.input_size,
+            "ms_per_step": round(per_step * 1e3, 2),
+            "rows_per_sec_per_chip": round(rows_per_sec, 1),
+            "hours_per_90M_sample_epoch": round(hours_per_90m, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":

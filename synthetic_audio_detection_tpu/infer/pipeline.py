@@ -137,9 +137,9 @@ def _forward_windows(
     if jnp.issubdtype(windows.dtype, jnp.integer):
         windows = windows.astype(jnp.float32) / 32768.0
     if use_pallas:
-        from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+        from synthetic_audio_detection_tpu.ops.pallas_melspec import serving_log_mel
 
-        z = fused_log_mel(windows, spec_cfg, sample_rate)  # [B, mels, frames]
+        z = serving_log_mel(windows, spec_cfg, sample_rate)  # [B, mels, frames]
         feats = melspec.finalize_features(z, spec_cfg).astype(compute_dtype)
     else:
         feats = melspec.log_mel_features(
@@ -214,10 +214,10 @@ class InferencePipeline:
         # bit-equivalent). Composite measurements decide the default
         # (micro numbers do not transfer — NOTES.md): NEUTRAL at 512²
         # (6,005 vs 6,020 seg/s), HARMFUL at 256² (12,868 vs 19,524 — C=1
-        # stems hit a bad emitter path there), +6% WIN at the native mel
-        # resolution (31,640 vs 29,728; 31,879 with the fast path,
-        # throughput.py mono-native/fastpath-mono-native). Auto = on only
-        # for native-resolution TPU serving in a reduced dtype.
+        # stems hit a bad emitter path there), +7% WIN at the native mel
+        # resolution (40,076 vs 37,520; 41,235 with the fast path, factored
+        # mel, throughput.py mono-native/fastpath-mono-native). Auto = on
+        # only for native-resolution TPU serving in a reduced dtype.
         spec_resolved = spec or SpectrogramConfig.inference()
         if fold_mono is None:
             fold_mono = (
@@ -286,16 +286,15 @@ class InferencePipeline:
         if use_fast_backbone is None:
             # auto: throughput serving (shared backbone, reduced dtype, TPU)
             # through the folded-affine functional backbone — measured +3.3%
-            # at 512². NOT at native: the flax path + mono fold measured
-            # FASTER there (34,981 vs 32,628 seg/s, same-process sweep with
-            # the wpc=4 mel kernel — throughput.py mono-native vs
-            # fastpath-mono-native)
+            # at 512² and, with the factored-DFT serving mel, +2.9% at native
+            # too (41,235 fastpath-mono vs 40,076 mono, same-process sweep —
+            # throughput.py; under the older strip mel the flax path had won
+            # native, 34,981 vs 32,628: the gate follows the composite record)
             use_fast_backbone = (
                 jax.default_backend() in ("tpu", "axon")
                 and jnp.dtype(self.compute_dtype) != jnp.float32
                 and self.ensemble.shared_backbone
                 and not self.use_s2d_layer1
-                and not self.spec.is_native
             )
         self.use_fast_backbone = use_fast_backbone
 

@@ -256,10 +256,14 @@ def fused_log_mel_factored(
     cfg: SpectrogramConfig,
     sample_rate: int = 32_000,
     interpret: bool = False,
-    windows_per_cell: int = 2,
+    windows_per_cell: int = 4,
 ) -> jnp.ndarray:
     """Factored-DFT variant of fused_log_mel: same output (float tolerance),
-    ~4× fewer DFT MACs. See _factored_kernel."""
+    ~4× fewer DFT MACs. See _factored_kernel.
+
+    Measured same-process on v5e (throughput.py melwpc2/melfct*, b128,
+    median-of-3 N-vs-1): 0.92 ms (wpc=4) / 0.95 (wpc=2, 8) vs 1.55 for the
+    strip kernel — a 1.7× front-end win; wpc=4 is the default."""
     B, T = waveforms.shape
     if B % windows_per_cell != 0:
         windows_per_cell = 1
@@ -328,6 +332,20 @@ def fused_log_mel_factored(
     )(x, cs, ab, fb_j)
 
     return jnp.transpose(out[:, :n_frames, : cfg.n_mels], (0, 2, 1))
+
+
+def serving_log_mel(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig,
+    sample_rate: int = 32_000,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The serving pipelines' mel kernel: the measured-best fused variant
+    (currently the factored-DFT kernel at its default wpc). One symbol so
+    infer/pipeline.py, bench.py, and the benchmark fastpath configs all move
+    together when the measured winner changes."""
+    return fused_log_mel_factored(waveforms, cfg, sample_rate,
+                                  interpret=interpret)
 
 
 def fused_log_mel(
