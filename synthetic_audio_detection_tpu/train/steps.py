@@ -208,9 +208,18 @@ def _features_from_waveforms(
     RandomResizedCrop applied post-resize (train transform,
     submodel_trainer.py:465-467 via :207-208). In native mode (out_size=0) the
     crop runs on the TRUE [n_mels, n_frames] content before the frame-axis pad
-    so the augmentation never samples pad columns."""
+    so the augmentation never samples pad columns.
+
+    dft_mode=None → 'gemm': the train-step A/B at native b128
+    (train_throughput.py --dft-mode '' gemm factored, after the LICM
+    chaining fix) measured ~5.9 ms/step GEMM (5.72/5.97/6.04 over three
+    same-process reps) vs 15.48 fft vs 7.82 jnp-factored — the XLA rFFT
+    costs more than the whole rest of the step, and the factored assembly
+    (shifted gathers) only pays off inside the handwritten Pallas serving
+    kernel, not through XLA. Cross-checked at 512² b128: gemm 33.35 ms vs
+    fft 42.78 — the same ~9.5 ms fft-vs-gemm delta."""
     mel = melspec.mel_spectrogram(waveforms, spec_cfg, sample_rate,
-                                  dft_mode=dft_mode)
+                                  dft_mode=dft_mode or "gemm")
     db = melspec.amplitude_to_db(mel, spec_cfg.top_db)
     train_mode = augment is not None and augment.enabled and rng is not None
     if train_mode:
