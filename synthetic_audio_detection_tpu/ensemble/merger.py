@@ -161,7 +161,15 @@ def merge_models(
     real_names = []
     for row in rows:
         path = os.path.join(submodels_folder, row["model_filename"])
-        variables, extras = serialization.load_submodel_torch(path)
+        if path.endswith((".pth", ".pt")):
+            variables, extras = serialization.load_submodel_torch(path)
+        else:
+            # native trainer checkpoint (the trainer's primary output; the
+            # reference merger only ever sees torch .pth — model_merger.py:46)
+            tree, extras = serialization.load_native(path)
+            variables = tree["variables"] if "variables" in tree else tree
+            extras = dict(extras or {})
+            extras.setdefault("flavor", "trainer")
         if donor is not None and extras.get("flavor") == "trainer":
             # strict=False semantics: trainer backbones don't match 'base.*'
             # → keep the donor backbone, import only the trained head.

@@ -199,3 +199,39 @@ def test_reference_merge_semantics_head_only(tmp_path):
             str(tmp_path), str(tmp_path / "recipe.csv"),
             smoke_test=False, reference_semantics=True,
         )
+
+
+def test_merge_from_native_checkpoint(tmp_path):
+    """Recipe rows may name the trainer's PRIMARY output (native msgpack
+    .ckpt), not only the torch .pth twin — the merger dispatches on
+    extension. Regression: native rows used to hit the torch unpickler and
+    die with 'unregistered extension code'."""
+    from synthetic_audio_detection_tpu.checkpoints import serialization
+    from synthetic_audio_detection_tpu.ensemble.merger import merge_models
+    from synthetic_audio_detection_tpu.models.classifier import (
+        BinaryClassifier,
+        init_classifier,
+    )
+
+    model = BinaryClassifier(backbone="resnet18")
+    trained = init_classifier(model, jax.random.PRNGKey(5), input_size=64)
+    serialization.save_native(
+        str(tmp_path / "sub.ckpt"),
+        {"variables": trained},
+        metadata={"epoch": 3, "best_acc": 0.9},
+    )
+    (tmp_path / "recipe.csv").write_text(
+        "model_filename,synthetic_class,real_class\nsub.ckpt,SynA,Real\n"
+    )
+    ens = merge_models(
+        str(tmp_path), str(tmp_path / "recipe.csv"), smoke_test=False
+    )
+    assert ens.class_names == ["SynA", "Real"]
+    np.testing.assert_allclose(
+        np.asarray(ens.variables["params"]["head"]["fc1"]["kernel"][0]),
+        np.asarray(trained["params"]["head"]["fc1"]["kernel"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ens.variables["params"]["base"]["conv1"]["kernel"][0]),
+        np.asarray(trained["params"]["base"]["conv1"]["kernel"]),
+    )
