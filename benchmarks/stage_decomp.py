@@ -37,7 +37,7 @@ def make_prefix(ens, spec, upto: str):
         fast_ensemble_forward,
     )
     from synthetic_audio_detection_tpu.models.resnet import RESNET_SPECS
-    from synthetic_audio_detection_tpu.ops.pallas_melspec import fused_log_mel
+    from synthetic_audio_detection_tpu.ops.pallas_melspec import serving_log_mel
 
     block, stages = RESNET_SPECS[ens.model.backbone]
     n_stages = {"fe": 0, "stem": 0, "l1": 1, "l2": 2, "l3": 3, "l4": 4}
@@ -47,7 +47,7 @@ def make_prefix(ens, spec, upto: str):
 
         from synthetic_audio_detection_tpu.ops import melspec as M
 
-        z = fused_log_mel(windows, spec, 32_000)
+        z = serving_log_mel(windows, spec, 32_000)
         feats = M.finalize_features(z, spec).astype(jnp.bfloat16)
         ch = ens.model.in_channels
         x = feats[..., None]

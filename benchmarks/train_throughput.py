@@ -40,7 +40,7 @@ def main() -> None:
                    "3 = post-unfreeze phase, 0 = full backward (round-1 "
                    "measurement mode)")
     p.add_argument("--dft-mode", nargs="*", default=[""],
-                   choices=["", "fft", "gemm", "factored"],
+                   choices=["", "fft", "gemm", "factored", "pallas"],
                    help="device-mel DFT path(s); several = same-process A/B "
                    "('' = the step's default)")
     args = p.parse_args()

@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute in the train step (params/optimizer/"
                    "loss stay float32). ~MXU-rate convs on TPU; the reference "
                    "trains in f32, so this is opt-in.")
+    p.add_argument("--mel-dft", default="",
+                   choices=("", "fft", "gemm", "factored", "pallas"),
+                   help="Device-mel DFT path in the train step. Default '' = "
+                   "the measured default (GEMM-DFT); 'pallas' = the serving "
+                   "path's fused factored-DFT kernel in dB-only mode (bf16 "
+                   "DFT numerics, TPU backends).")
     p.add_argument("--stop-grad-boundary", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="Stop gradients at the freeze boundary so the frozen "
@@ -152,6 +158,7 @@ def main(argv=None) -> int:
         s2d_stage1=_resolve_s2d(args),
         stop_grad_boundary=args.stop_grad_boundary,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        mel_dft=args.mel_dft,
         reference_quirk_frozen_layer3=args.reference_quirk_frozen_layer3,
     )
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig

@@ -184,6 +184,7 @@ def _factored_kernel(
     windows_per_cell: int = 1,
     b_zero: tuple = (),
     a_one: tuple = (),
+    standardize: bool = True,
 ):
     """Factored (shared hop-block) GEMM-DFT mel kernel.
 
@@ -205,6 +206,11 @@ def _factored_kernel(
         db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
         db_max = jnp.max(jnp.where(valid, db, -jnp.inf))
         db = jnp.maximum(db, db_max - top_db)
+        if not standardize:
+            # dB-only mode (training front end: SpecAugment masks the dB
+            # spectrogram BEFORE standardization, submodel_trainer.py:194-199)
+            out_ref[w, :, :] = jnp.where(valid, db, 0.0)
+            return
         n_valid = n_frames * n_mels
         mean = jnp.sum(jnp.where(valid, db, 0.0)) / n_valid
         var = jnp.sum(jnp.where(valid, (db - mean) ** 2, 0.0)) / max(n_valid - 1, 1)
@@ -257,13 +263,18 @@ def fused_log_mel_factored(
     sample_rate: int = 32_000,
     interpret: bool = False,
     windows_per_cell: int = 4,
+    standardize: bool = True,
 ) -> jnp.ndarray:
     """Factored-DFT variant of fused_log_mel: same output (float tolerance),
     ~4× fewer DFT MACs. See _factored_kernel.
 
     Measured same-process on v5e (throughput.py melwpc2/melfct*, b128,
     median-of-3 N-vs-1): 0.92 ms (wpc=4) / 0.95 (wpc=2, 8) vs 1.55 for the
-    strip kernel — a 1.7× front-end win; wpc=4 is the default."""
+    strip kernel — a 1.7× front-end win; wpc=4 is the default.
+
+    standardize=False stops at the clamped dB spectrogram (no per-spectrogram
+    mean/std) — the training front end's seam, where SpecAugment masks the dB
+    values before standardization."""
     B, T = waveforms.shape
     if B % windows_per_cell != 0:
         windows_per_cell = 1
@@ -311,6 +322,7 @@ def fused_log_mel_factored(
         windows_per_cell=wpc,
         b_zero=b_zero,
         a_one=a_one,
+        standardize=standardize,
     )
     out = pl.pallas_call(
         kernel,

@@ -139,11 +139,25 @@ class Trainer:
         stage = 0
         if self.cfg.stop_grad_boundary:
             stage = 3 if self.layer3_unfrozen else 4
+        dft = self.cfg.mel_dft or None
+        if (
+            dft is None
+            and self.cfg.compute_dtype == "bfloat16"
+            and jax.default_backend() in ("tpu", "axon")
+        ):
+            # bf16 training already opted into bf16 numerics; route the mel
+            # through the serving path's fused factored-DFT kernel (dB-only
+            # mode). Measured at native b128 (train_throughput.py --dft-mode
+            # pallas, fresh-process reps): 4.59/5.43/4.95 ms/step vs gemm
+            # 5.72-6.07 — ~+18%. f32 training keeps the f32 GEMM mel
+            # (reference numerics); --mel-dft overrides either way.
+            dft = "pallas"
         return jax.jit(
             steps.make_train_step(
                 self.model, self.tx, self.cfg, self.spec_cfg, self.augment,
                 reference_quirk_loss=self._reference_quirk_loss,
                 stop_grad_stage=stage,
+                dft_mode=dft,
             ),
             donate_argnums=(0,),
         )

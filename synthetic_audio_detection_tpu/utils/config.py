@@ -221,6 +221,11 @@ class TrainConfig:
     # reference trains in f32 (its AMP precedent is legacy inference,
     # inference_script.py:278), so f32 stays the default.
     compute_dtype: str = "float32"
+    # Device-mel DFT path for the train step: '' = the step's measured
+    # default (train/steps.py:_features_from_waveforms docstring), or one of
+    # 'fft' | 'gemm' | 'factored' | 'pallas' ('pallas' = the serving path's
+    # fused factored-DFT kernel in dB-only mode; bf16 DFT numerics).
+    mel_dft: str = ""
 
 
 @dataclass(frozen=True)

@@ -110,3 +110,47 @@ def test_fused_kernel_windows_per_cell_parity(rng):
             fused_log_mel(w, cfg, interpret=True, windows_per_cell=wpc,
                           stack_windows=True))
         np.testing.assert_array_equal(got, base)
+
+
+def test_factored_kernel_db_only_mode(rng):
+    """standardize=False stops at the clamped dB spectrogram — the training
+    front end's seam (SpecAugment masks dB before standardization,
+    submodel_trainer.py:194-199). Pinned two ways: vs the jnp dB pipeline,
+    and jnp-standardizing it must reproduce the fused standardized output."""
+    cfg = SpectrogramConfig()
+    x = (rng.standard_normal((2, 128_000)) * 0.3).astype(np.float32)
+
+    db_k = np.asarray(
+        fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True,
+                               standardize=False)
+    )
+    mel = M.mel_spectrogram(jnp.asarray(x), cfg, 32_000, use_gemm_dft=True)
+    db_ref = np.asarray(M.amplitude_to_db(mel, cfg.top_db))
+    assert db_k.shape == db_ref.shape == (2, 128, 251)
+    # dB of a bf16-DFT power spectrum: same tolerance class as the
+    # standardized comparison (dB range here spans ~80)
+    assert float(np.mean(np.abs(db_k - db_ref))) < 0.05
+    np.testing.assert_allclose(db_k, db_ref, atol=1.5)
+
+    z = np.asarray(M.standardize(jnp.asarray(db_k), cfg.eps))
+    z_fused = np.asarray(
+        fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True)
+    )
+    np.testing.assert_allclose(z, z_fused, rtol=1e-4, atol=1e-4)
+
+
+def test_train_features_pallas_mode_matches_gemm(rng):
+    """steps._features_from_waveforms(dft_mode='pallas') — the Pallas dB
+    kernel feeding the jnp SpecAugment/standardize/crop chain — agrees with
+    the f32 gemm path at kernel tolerance, eval mode (no augment RNG)."""
+    from synthetic_audio_detection_tpu.train import steps as S
+
+    cfg = SpectrogramConfig(out_size=0)  # native mode
+    x = jnp.asarray((rng.standard_normal((2, 128_000)) * 0.3).astype(np.float32))
+    a = np.asarray(S._features_from_waveforms(x, cfg, None, None, 32_000,
+                                              dft_mode="gemm"))
+    b = np.asarray(S._features_from_waveforms(x, cfg, None, None, 32_000,
+                                              dft_mode="pallas"))
+    assert a.shape == b.shape
+    assert float(np.mean(np.abs(a - b))) < 5e-3
+    np.testing.assert_allclose(a, b, atol=0.2)
