@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "the measured default (GEMM-DFT); 'pallas' = the serving "
                    "path's fused factored-DFT kernel in dB-only mode (bf16 "
                    "DFT numerics, TPU backends).")
+    p.add_argument("--transport-dtype", default="",
+                   choices=("", "float32", "int16"),
+                   help="Host-to-device waveform transport. Default '' = auto "
+                   "(int16 under --bf16 on TPU backends, float32 otherwise). "
+                   "int16 halves host-to-device bytes per step and is exact "
+                   "for PCM_16 mono 32 kHz segments (the post-ETL contract).")
     p.add_argument("--stop-grad-boundary", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="Stop gradients at the freeze boundary so the frozen "
@@ -159,6 +165,7 @@ def main(argv=None) -> int:
         stop_grad_boundary=args.stop_grad_boundary,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         mel_dft=args.mel_dft,
+        transport_dtype=args.transport_dtype,
         reference_quirk_frozen_layer3=args.reference_quirk_frozen_layer3,
     )
     from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig

@@ -127,7 +127,7 @@ def _forward_windows(
     mel front end + channel fold + vmapped multi-head forward in one program.
     use_pallas=True routes the mel front end through the fused Pallas kernel
     (ops.pallas_melspec) — TPU only. Integer-typed windows are int16 PCM
-    transport (4× less host→device traffic; exact for PCM sources) and are
+    transport (half the float32 host→device traffic; exact for PCM sources) and are
     dequantized here.
 
     return_per_head=True additionally returns the PRE-aggregation per-head
@@ -248,7 +248,8 @@ class InferencePipeline:
                 and jnp.dtype(compute_dtype) != jnp.float32
             )
         self.use_pallas = use_pallas
-        # 'int16' transports windows as PCM (¼ the host→device bytes — exact
+        # 'int16' transports windows as PCM (half the float32 host→device
+        # bytes — exact
         # for PCM-sourced audio, ≤1.5e-5 quantization otherwise); matters on
         # hosts with constrained upload bandwidth
         if transport_dtype not in ("float32", "int16"):

@@ -219,6 +219,11 @@ def _features_from_waveforms(
     kernel, not through XLA. Cross-checked at 512² b128: gemm 33.35 ms vs
     fft 42.78 — the same ~9.5 ms fft-vs-gemm delta.
 
+    Integer-typed waveforms are int16 PCM transport (mirroring the serving
+    path, infer/pipeline.py: half the float32 host→device traffic; EXACT for PCM_16
+    mono 32 kHz sources — the post-ETL segment contract) and are dequantized
+    here on device.
+
     dft_mode='pallas' routes the front end through the serving path's fused
     factored-DFT Pallas kernel in dB-only mode (standardize=False) — legal in
     training because no gradient flows through the mel (it is a function of
@@ -227,6 +232,8 @@ def _features_from_waveforms(
     backends, interpreter mode elsewhere (tests). Measured at native b128
     (fresh-process reps): 4.59/5.43/4.95 ms/step vs gemm 5.72-6.07 — ~+18%;
     the Trainer auto-selects it for bf16 training on TPU backends."""
+    if jnp.issubdtype(waveforms.dtype, jnp.integer):
+        waveforms = waveforms.astype(jnp.float32) / 32768.0
     if dft_mode == "pallas":
         from synthetic_audio_detection_tpu.ops import pallas_melspec
 

@@ -116,6 +116,12 @@ class Trainer:
         self.layer3_unfrozen = False
 
         self._orbax = None
+        self._transport = cfg.transport_dtype or (
+            "int16"
+            if cfg.compute_dtype == "bfloat16"
+            and jax.default_backend() in ("tpu", "axon")
+            else "float32"
+        )
         self.mesh = sh.create_mesh() if use_mesh and jax.device_count() > 1 else None
         self._reference_quirk_loss = reference_quirk_loss
         self._train_step = self._build_train_step()
@@ -332,6 +338,18 @@ class Trainer:
                 padded["weight"] = (
                     np.arange(target_rows) < n
                 ).astype(np.float32)
+            if (self._transport == "int16"
+                    and padded["audio"].dtype != np.int16):
+                # PCM transport (utils/config.py:TrainConfig.transport_dtype):
+                # exact for the post-ETL PCM_16 segment contract; the jitted
+                # step dequantizes on device.
+                padded = dict(
+                    padded,
+                    audio=np.clip(
+                        np.round(padded["audio"].astype(np.float64) * 32768.0),
+                        -32768, 32767,
+                    ).astype(np.int16),
+                )
             if self.mesh is not None:
                 padded = sh.shard_batch(self.mesh, padded)
             yield padded

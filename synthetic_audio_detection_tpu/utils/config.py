@@ -226,6 +226,15 @@ class TrainConfig:
     # 'fft' | 'gemm' | 'factored' | 'pallas' ('pallas' = the serving path's
     # fused factored-DFT kernel in dB-only mode; bf16 DFT numerics).
     mel_dft: str = ""
+    # Host→device transport for waveform batches: '' = auto (int16 for bf16
+    # training on TPU backends — the same opt-in gate as the Pallas mel;
+    # float32 otherwise), or 'float32' | 'int16' to force. int16 halves
+    # the PCIe/DMA (or tunnel) bytes per step and is EXACT for PCM_16 mono
+    # 32 kHz sources — the post-ETL segment contract (round(i/32768·32768)
+    # == i); non-PCM sources see ≤0.5 LSB input quantization, far below
+    # bf16 activation noise. Mirrors the serving path's int16 transport
+    # (infer/pipeline.py). Dequantized on device in the jitted step.
+    transport_dtype: str = ""
 
 
 @dataclass(frozen=True)

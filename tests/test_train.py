@@ -498,3 +498,59 @@ def test_epoch_seed_derivation_decorrelated():
 
     seen = {derive_epoch_seed(s, e) for s in range(8) for e in range(8)}
     assert len(seen) == 64  # additive seeding would give 15
+
+
+def test_int16_transport_features_exact():
+    """Integer batches are int16 PCM transport: the jitted step dequantizes
+    to i/32768 on device (train/steps.py:_features_from_waveforms), so for
+    PCM-grid waveforms — the post-ETL segment contract — the features are
+    BIT-identical to float32 transport. Mirrors the serving path's transport
+    (infer/pipeline.py int16 windows)."""
+    from synthetic_audio_detection_tpu.train import steps
+    from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
+
+    rng = np.random.default_rng(3)
+    ints = rng.integers(-32768, 32768, size=(2, 32000), dtype=np.int16)
+    f32 = ints.astype(np.float32) / 32768.0
+    spec = SpectrogramConfig(out_size=64)
+    a = steps._features_from_waveforms(jnp.asarray(ints), spec, None, None,
+                                       32000)
+    b = steps._features_from_waveforms(jnp.asarray(f32), spec, None, None,
+                                       32000)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_int16_transport_quantizes_batches(tmp_path):
+    """transport_dtype='int16' makes _batches emit int16 audio (quantized
+    round(x*32768), exact for PCM-grid floats); the default stays float32
+    off-TPU (auto gate = bf16 + TPU backend, utils/config.py)."""
+    from synthetic_audio_detection_tpu.train.trainer import Trainer
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpectrogramConfig,
+        TrainConfig,
+    )
+
+    spec = SpectrogramConfig(out_size=64)
+    cfg = TrainConfig(batch_size=2, lr=1e-3, transport_dtype="int16")
+    t = Trainer(cfg, spec_cfg=spec, use_mesh=False,
+                log_dir=str(tmp_path / "tb"))
+    assert t._transport == "int16"
+
+    ints = np.random.default_rng(5).integers(
+        -32768, 32768, size=(4, 32000), dtype=np.int16)
+
+    class OneBatch:
+        batch_size = 2
+
+        def epoch(self, epoch_idx=0):
+            yield {"audio": ints.astype(np.float32) / 32768.0,
+                   "label": np.array([0, 1, 0, 1], np.int32)}
+
+    (got,) = list(t._batches(OneBatch(), 0, target_rows=4))
+    assert got["audio"].dtype == np.int16
+    np.testing.assert_array_equal(got["audio"], ints)
+
+    # default off-TPU: float32 (the auto gate needs bf16 + tpu/axon backend)
+    t2 = Trainer(TrainConfig(batch_size=2, lr=1e-3), spec_cfg=spec,
+                 use_mesh=False, log_dir=str(tmp_path / "tb2"))
+    assert t2._transport == "float32"
