@@ -76,6 +76,11 @@ def main(argv=None) -> int:
     if bool(args.audio) == bool(args.audio_dir):
         parser.error("exactly one of --audio / --audio-dir is required")
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    from synthetic_audio_detection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 

@@ -144,6 +144,11 @@ def _resolve_s2d(args) -> bool:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(args.checkpoint_dir)
+    from synthetic_audio_detection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     from synthetic_audio_detection_tpu.train.trainer import Trainer
     from synthetic_audio_detection_tpu.utils.config import TrainConfig

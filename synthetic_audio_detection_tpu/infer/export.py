@@ -1,0 +1,187 @@
+"""Self-contained StableHLO serving artifacts (``jax.export``).
+
+The reference deploys by shipping a torch ``.pth`` plus the Python stack
+that rebuilds the model around it (inference_runner.py:77-123: key-space
+discovery, timm backbone construction, dummy forward). A TPU-native
+framework can ship something stronger: ``jax.export`` lowers the ENTIRE
+serving program — int16 PCM dequantization, the mel front end, the vmapped
+multi-head forward, the ``[B, N+1]`` aggregation — into one serialized
+StableHLO module with the trained weights baked in as constants. The
+artifact is:
+
+* **self-contained** — loadable from any JAX process via
+  :func:`load_artifact` with no model code, no checkpoint parsing, no timm;
+* **versionable** — bytes on disk are the unit a serving fleet ships and
+  rolls back;
+* **cross-platform** — ``platforms=['tpu']`` (or cpu/cuda) pins where it may
+  run; export happens on any host, no TPU needed at export time.
+
+File format: ``SADX1\\n`` magic, a JSON metadata header (class names, batch
+shape, transport dtype, spectrogram config), then the StableHLO payload.
+
+No reference counterpart — an extra serving surface like infer/server.py
+(PARITY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import os
+import struct
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from synthetic_audio_detection_tpu.ensemble.multihead import MultiHeadEnsemble
+from synthetic_audio_detection_tpu.utils.config import (
+    AudioConfig,
+    SpectrogramConfig,
+)
+
+_MAGIC = b"SADX1\n"
+
+
+def _serving_fn(ensemble: MultiHeadEnsemble, spec: SpectrogramConfig,
+                sample_rate: int, compute_dtype: Any, use_fast_backbone: bool):
+    from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
+
+    variables = ensemble.variables
+
+    def fn(windows):
+        return _forward_windows(
+            variables, windows,
+            ensemble=ensemble, spec_cfg=spec, sample_rate=sample_rate,
+            use_gemm_dft=True, compute_dtype=compute_dtype,
+            use_pallas=False, use_s2d_layer1=False,
+            use_fast_backbone=use_fast_backbone,
+        )
+
+    return fn
+
+
+def export_serving(
+    ensemble: MultiHeadEnsemble,
+    *,
+    audio: Optional[AudioConfig] = None,
+    spec: Optional[SpectrogramConfig] = None,
+    batch_size: int = 128,
+    transport_dtype: str = "int16",
+    compute_dtype: Any = jnp.bfloat16,
+    use_fast_backbone: bool = False,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the full serving program for ``[batch_size, window]``
+    windows → ``[batch_size, N+1]`` logits, weights baked in.
+
+    ``transport_dtype='int16'`` exports the PCM-transport entry point (the
+    artifact dequantizes on device, mirroring InferencePipeline);
+    ``platforms`` defaults to the exporting process's backend.
+    """
+    from jax import export as jexport
+
+    audio = audio or AudioConfig()
+    spec = spec or SpectrogramConfig.inference()
+    if transport_dtype not in ("float32", "int16"):
+        raise ValueError(f"unsupported transport_dtype {transport_dtype!r}")
+    in_dtype = jnp.int16 if transport_dtype == "int16" else jnp.float32
+
+    fn = _serving_fn(ensemble, spec, audio.sample_rate, compute_dtype,
+                     use_fast_backbone)
+    arg = jax.ShapeDtypeStruct((batch_size, audio.window_samples), in_dtype)
+    exported = jexport.export(
+        jax.jit(fn),
+        platforms=tuple(platforms) if platforms else None,
+    )(arg)
+    payload = exported.serialize()
+
+    meta = {
+        "class_names": list(ensemble.class_names),
+        "backbone": ensemble.model.backbone,
+        "batch_size": batch_size,
+        "window_samples": audio.window_samples,
+        "sample_rate": audio.sample_rate,
+        "transport_dtype": transport_dtype,
+        "compute_dtype": jnp.dtype(compute_dtype).name,
+        "platforms": list(exported.platforms),
+        "spec": dataclasses.asdict(spec),
+    }
+    head = json.dumps(meta, sort_keys=True).encode()
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    buf.write(struct.pack("<I", len(head)))
+    buf.write(head)
+    buf.write(payload)
+    return buf.getvalue()
+
+
+def write_artifact(path: str, data: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_artifact(path_or_bytes):
+    """→ (callable ``fn(windows) -> logits``, metadata dict). Needs only
+    jax — no model code, checkpoints, or framework classes."""
+    from jax import export as jexport
+
+    if isinstance(path_or_bytes, (str, os.PathLike)):
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    else:
+        data = path_or_bytes
+    if data[: len(_MAGIC)] != _MAGIC:
+        raise ValueError("not a SADX serving artifact (bad magic)")
+    off = len(_MAGIC)
+    (hlen,) = struct.unpack_from("<I", data, off)
+    off += 4
+    meta = json.loads(data[off : off + hlen].decode())
+    exported = jexport.deserialize(data[off + hlen :])
+    return exported.call, meta
+
+
+def main(argv=None) -> int:
+    """CLI: export a merged checkpoint to a serving artifact."""
+    import argparse
+
+    from synthetic_audio_detection_tpu.checkpoints import serialization
+    from synthetic_audio_detection_tpu.ensemble.multihead import with_dtype
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--merged-model", required=True)
+    p.add_argument("--output", required=True, help="artifact path (.sadx)")
+    p.add_argument("--backbone", default="resnet18")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--input-size", type=parse_input_size, default=512)
+    p.add_argument("--transport-dtype", default="int16",
+                   choices=("float32", "int16"))
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute inside the artifact")
+    p.add_argument("--platform", default="",
+                   help="target platform(s), comma-separated (tpu,cpu,cuda); "
+                   "default = the exporting process's backend")
+    args = p.parse_args(argv)
+
+    ensemble = serialization.load_merged(args.merged_model,
+                                         backbone=args.backbone)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    ensemble = with_dtype(ensemble, dtype)
+    data = export_serving(
+        ensemble,
+        spec=SpectrogramConfig.inference(out_size=args.input_size),
+        batch_size=args.batch_size,
+        transport_dtype=args.transport_dtype,
+        compute_dtype=dtype,
+        platforms=[s for s in args.platform.split(",") if s] or None,
+    )
+    write_artifact(args.output, data)
+    print(f"Wrote serving artifact to {args.output} "
+          f"({len(data)} bytes, heads={len(ensemble.class_names) - 1})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,94 @@
+"""StableHLO serving-artifact round trip (infer/export.py).
+
+The artifact must reproduce the live serving program's logits to float
+tolerance after a serialize → bytes → deserialize round trip (separately
+compiled executables differ in fusion order at the ~1e-7 level), carry its
+metadata, and accept the int16 PCM transport entry point.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthetic_audio_detection_tpu.ensemble.multihead import build_ensemble
+from synthetic_audio_detection_tpu.infer import export as sadx
+from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
+from synthetic_audio_detection_tpu.models.classifier import (
+    BinaryClassifier,
+    init_classifier,
+)
+from synthetic_audio_detection_tpu.utils.config import (
+    AudioConfig,
+    SpectrogramConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_ensemble():
+    model = BinaryClassifier(backbone="resnet18")
+    vds = [init_classifier(model, jax.random.PRNGKey(i), input_size=64)
+           for i in range(2)]
+    return build_ensemble(model, vds, ["A", "B", "Real"],
+                          detect_shared_backbone=False)
+
+
+def _windows(dtype):
+    rng = np.random.default_rng(0)
+    ints = rng.integers(-32768, 32768, size=(2, 128_000), dtype=np.int16)
+    if dtype == np.int16:
+        return ints
+    return ints.astype(np.float32) / 32768.0
+
+
+def test_artifact_roundtrip_matches_live_serving(tiny_ensemble, tmp_path):
+    spec = SpectrogramConfig.inference(out_size=64)
+    data = sadx.export_serving(
+        tiny_ensemble, spec=spec, batch_size=2,
+        transport_dtype="float32", compute_dtype=jnp.float32,
+    )
+    path = tmp_path / "m.sadx"
+    sadx.write_artifact(str(path), data)
+    fn, meta = sadx.load_artifact(str(path))
+
+    w = _windows(np.float32)
+    got = np.asarray(fn(w))
+    want = np.asarray(_forward_windows(
+        tiny_ensemble.variables, jnp.asarray(w),
+        ensemble=tiny_ensemble, spec_cfg=spec,
+        sample_rate=AudioConfig().sample_rate,
+        use_gemm_dft=True, compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert got.shape == (2, 3)  # [B, N+1]
+
+    assert meta["class_names"] == ["A", "B", "Real"]
+    assert meta["batch_size"] == 2
+    assert meta["spec"] == dataclasses.asdict(spec)
+
+
+def test_artifact_int16_transport_entry_point(tiny_ensemble):
+    spec = SpectrogramConfig.inference(out_size=64)
+    data = sadx.export_serving(
+        tiny_ensemble, spec=spec, batch_size=2,
+        transport_dtype="int16", compute_dtype=jnp.float32,
+    )
+    fn, meta = sadx.load_artifact(data)
+    assert meta["transport_dtype"] == "int16"
+
+    ints = _windows(np.int16)
+    got = np.asarray(fn(ints))
+    want = np.asarray(_forward_windows(
+        tiny_ensemble.variables, jnp.asarray(_windows(np.float32)),
+        ensemble=tiny_ensemble, spec_cfg=spec,
+        sample_rate=AudioConfig().sample_rate,
+        use_gemm_dft=True, compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_artifact_rejects_bad_magic():
+    with pytest.raises(ValueError, match="bad magic"):
+        sadx.load_artifact(b"NOPE" + b"\0" * 32)
