@@ -4,6 +4,8 @@ re-compiles per clip via its one-shot CLI.
 
     python -m synthetic_audio_detection_tpu.cli.serve \
         --merged-model merged.pth --port 8321 [--bf16]
+    python -m synthetic_audio_detection_tpu.cli.serve \
+        --artifact merged.sadx --port 8321     # StableHLO artifact serving
 """
 
 from __future__ import annotations
@@ -15,7 +17,12 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Synthetic-audio detection server")
-    p.add_argument("--merged-model", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--merged-model")
+    src.add_argument("--artifact",
+                     help="serve from a StableHLO artifact (infer/export.py) "
+                     "instead of a checkpoint: no model code or weight trees "
+                     "at runtime; compute config is baked into the artifact")
     p.add_argument("--backbone", default="resnet18")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8321)
@@ -52,24 +59,35 @@ def main(argv=None) -> int:
         SpectrogramConfig,
     )
 
-    ensemble = serialization.load_merged(args.merged_model, backbone=args.backbone)
-    if args.bf16:
-        from synthetic_audio_detection_tpu.ensemble.multihead import with_dtype
+    if args.artifact:
+        pipeline = InferencePipeline.from_artifact(
+            args.artifact,
+            infer=InferenceConfig(threshold=args.threshold),
+        )
+        source = args.artifact
+    else:
+        ensemble = serialization.load_merged(args.merged_model,
+                                             backbone=args.backbone)
+        if args.bf16:
+            from synthetic_audio_detection_tpu.ensemble.multihead import (
+                with_dtype,
+            )
 
-        ensemble = with_dtype(ensemble, jnp.bfloat16)
-    pipeline = InferencePipeline(
-        ensemble,
-        audio=AudioConfig(overlap=args.overlap),
-        spec=SpectrogramConfig.inference(out_size=args.input_size),
-        infer=InferenceConfig(threshold=args.threshold,
-                              batch_size=args.batch_size),
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
+            ensemble = with_dtype(ensemble, jnp.bfloat16)
+        pipeline = InferencePipeline(
+            ensemble,
+            audio=AudioConfig(overlap=args.overlap),
+            spec=SpectrogramConfig.inference(out_size=args.input_size),
+            infer=InferenceConfig(threshold=args.threshold,
+                                  batch_size=args.batch_size),
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        source = args.merged_model
     server = serve(pipeline, args.host, args.port,
                    warmup=not args.no_warmup)
     logging.info("serving %s on http://%s:%d (classes: %s)",
-                 args.merged_model, args.host, args.port,
-                 ensemble.class_names)
+                 source, args.host, args.port,
+                 pipeline.ensemble.class_names)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

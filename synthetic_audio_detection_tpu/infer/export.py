@@ -67,15 +67,19 @@ def export_serving(
     *,
     audio: Optional[AudioConfig] = None,
     spec: Optional[SpectrogramConfig] = None,
-    batch_size: int = 128,
+    batch_sizes: Sequence[int] = (8, 128),
     transport_dtype: str = "int16",
     compute_dtype: Any = jnp.bfloat16,
     use_fast_backbone: bool = False,
     platforms: Optional[Sequence[str]] = None,
 ) -> bytes:
-    """Serialize the full serving program for ``[batch_size, window]``
-    windows → ``[batch_size, N+1]`` logits, weights baked in.
+    """Serialize the full serving program — one entry per batch size —
+    for ``[b, window]`` windows → ``[b, N+1]`` logits, weights baked in.
 
+    ``batch_sizes`` defaults to the live pipeline's two-level buckets
+    (8 for short clips, 128 for throughput — infer/pipeline.py:_bucket),
+    so :meth:`InferencePipeline.from_artifact` serves any clip length
+    through exactly the shapes the artifact carries.
     ``transport_dtype='int16'`` exports the PCM-transport entry point (the
     artifact dequantizes on device, mirroring InferencePipeline);
     ``platforms`` defaults to the exporting process's backend.
@@ -86,26 +90,33 @@ def export_serving(
     spec = spec or SpectrogramConfig.inference()
     if transport_dtype not in ("float32", "int16"):
         raise ValueError(f"unsupported transport_dtype {transport_dtype!r}")
+    if not batch_sizes:
+        raise ValueError("need at least one batch size")
     in_dtype = jnp.int16 if transport_dtype == "int16" else jnp.float32
 
     fn = _serving_fn(ensemble, spec, audio.sample_rate, compute_dtype,
                      use_fast_backbone)
-    arg = jax.ShapeDtypeStruct((batch_size, audio.window_samples), in_dtype)
-    exported = jexport.export(
-        jax.jit(fn),
-        platforms=tuple(platforms) if platforms else None,
-    )(arg)
-    payload = exported.serialize()
+    jit_fn = jax.jit(fn)
+    payloads, entries, platforms_out = [], [], None
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        arg = jax.ShapeDtypeStruct((b, audio.window_samples), in_dtype)
+        exported = jexport.export(
+            jit_fn, platforms=tuple(platforms) if platforms else None,
+        )(arg)
+        payload = exported.serialize()
+        payloads.append(payload)
+        entries.append({"batch_size": b, "nbytes": len(payload)})
+        platforms_out = list(exported.platforms)
 
     meta = {
         "class_names": list(ensemble.class_names),
         "backbone": ensemble.model.backbone,
-        "batch_size": batch_size,
+        "entries": entries,
         "window_samples": audio.window_samples,
         "sample_rate": audio.sample_rate,
         "transport_dtype": transport_dtype,
         "compute_dtype": jnp.dtype(compute_dtype).name,
-        "platforms": list(exported.platforms),
+        "platforms": platforms_out,
         "spec": dataclasses.asdict(spec),
     }
     head = json.dumps(meta, sort_keys=True).encode()
@@ -113,7 +124,8 @@ def export_serving(
     buf.write(_MAGIC)
     buf.write(struct.pack("<I", len(head)))
     buf.write(head)
-    buf.write(payload)
+    for payload in payloads:
+        buf.write(payload)
     return buf.getvalue()
 
 
@@ -123,8 +135,8 @@ def write_artifact(path: str, data: bytes) -> None:
 
 
 def load_artifact(path_or_bytes):
-    """→ (callable ``fn(windows) -> logits``, metadata dict). Needs only
-    jax — no model code, checkpoints, or framework classes."""
+    """→ ({batch_size: callable ``fn(windows) -> logits``}, metadata dict).
+    Needs only jax — no model code, checkpoints, or framework classes."""
     from jax import export as jexport
 
     if isinstance(path_or_bytes, (str, os.PathLike)):
@@ -138,8 +150,16 @@ def load_artifact(path_or_bytes):
     (hlen,) = struct.unpack_from("<I", data, off)
     off += 4
     meta = json.loads(data[off : off + hlen].decode())
-    exported = jexport.deserialize(data[off + hlen :])
-    return exported.call, meta
+    off += hlen
+    calls = {}
+    for entry in meta["entries"]:
+        n = entry["nbytes"]
+        calls[entry["batch_size"]] = jexport.deserialize(
+            data[off : off + n]).call
+        off += n
+    if off != len(data):
+        raise ValueError("artifact payload length mismatch")
+    return calls, meta
 
 
 def main(argv=None) -> int:
@@ -154,7 +174,9 @@ def main(argv=None) -> int:
     p.add_argument("--merged-model", required=True)
     p.add_argument("--output", required=True, help="artifact path (.sadx)")
     p.add_argument("--backbone", default="resnet18")
-    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--batch-sizes", default="8,128",
+                   help="comma-separated batch entries; default 8,128 = the "
+                   "live pipeline's two-level buckets")
     p.add_argument("--input-size", type=parse_input_size, default=512)
     p.add_argument("--transport-dtype", default="int16",
                    choices=("float32", "int16"))
@@ -172,7 +194,7 @@ def main(argv=None) -> int:
     data = export_serving(
         ensemble,
         spec=SpectrogramConfig.inference(out_size=args.input_size),
-        batch_size=args.batch_size,
+        batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
         transport_dtype=args.transport_dtype,
         compute_dtype=dtype,
         platforms=[s for s in args.platform.split(",") if s] or None,

@@ -315,6 +315,54 @@ class InferencePipeline:
         self._jit_fwd_diag = None  # lazily built by logits_and_per_head()
         self._jit_per_head = None  # lazily built by per_head_sigmoids()
 
+    @classmethod
+    def from_artifact(
+        cls,
+        path_or_bytes,
+        audio: Optional[AudioConfig] = None,
+        infer: Optional[InferenceConfig] = None,
+    ) -> "InferencePipeline":
+        """Serve from a StableHLO artifact (infer/export.py) — no model
+        code, checkpoint parsing, or weight trees; the exported programs ARE
+        the forward. Host-side behavior (windowing, silence gate, decision
+        rule, smoothing, JSON) is identical to a checkpoint-backed pipeline;
+        the device programs are the artifact's entries, so only the exported
+        batch shapes exist (``_bucket`` snaps to them). Per-head diagnostics
+        need the parameter tree and are not available from an artifact."""
+        from synthetic_audio_detection_tpu.ensemble.multihead import (
+            MultiHeadEnsemble,
+        )
+        from synthetic_audio_detection_tpu.infer import export as sadx
+
+        calls, meta = sadx.load_artifact(path_or_bytes)
+        sizes = sorted(calls)
+
+        self = cls.__new__(cls)
+        self.ensemble = MultiHeadEnsemble(
+            model=None, variables=None,
+            class_names=list(meta["class_names"]),
+        )
+        self.audio = audio or AudioConfig(sample_rate=meta["sample_rate"])
+        if self.audio.sample_rate != meta["sample_rate"]:
+            raise ValueError(
+                f"artifact was exported for {meta['sample_rate']} Hz, "
+                f"pipeline configured for {self.audio.sample_rate}")
+        self.spec = SpectrogramConfig(**meta["spec"])
+        self.infer = infer or InferenceConfig(batch_size=sizes[-1])
+        self.use_gemm_dft = True
+        self.compute_dtype = jnp.dtype(meta["compute_dtype"])
+        self.use_pallas = False
+        self.transport_dtype = meta["transport_dtype"]
+        self.mesh = None
+        self.use_s2d_layer1 = False
+        self.use_fast_backbone = False
+        self._bucket_sizes = sizes
+        self._fwd = None
+        self._jit_fwd = lambda _variables, batch: calls[batch.shape[0]](batch)
+        self._jit_fwd_diag = None
+        self._jit_per_head = None
+        return self
+
     # -- bucketing ----------------------------------------------------------
 
     def _bucket(self, n: int) -> int:
@@ -322,6 +370,13 @@ class InferencePipeline:
         # batch bucket for throughput — at most TWO compiled shapes per
         # pipeline (a power-of-two ladder was observed recompiling mid-run on
         # long recordings whose remainder batch hit a fresh bucket size)
+        sizes = getattr(self, "_bucket_sizes", None)
+        if sizes is not None:
+            # artifact-backed pipeline: only the exported shapes exist
+            for s in sizes:
+                if n <= s:
+                    return s
+            return sizes[-1]
         b = self.infer.batch_size
         bucket = 8 if n <= 8 else b
         if self.mesh is not None:
@@ -385,6 +440,10 @@ class InferencePipeline:
             n = self.ensemble.num_heads
             return (np.zeros((0, n + 1), np.float32),
                     np.zeros((0, n, 2), np.float32))
+        if self._fwd is None:
+            raise NotImplementedError(
+                "per-head diagnostics need the parameter tree; this pipeline "
+                "serves from a StableHLO artifact (from_artifact)")
         if self._jit_fwd_diag is None:
             fwd = functools.partial(self._fwd, return_per_head=True)
             self._jit_fwd_diag = jax.jit(fwd)
@@ -416,6 +475,10 @@ class InferencePipeline:
         if serving_numerics:
             _, logits_bn2 = self.logits_and_per_head(windows)
             return (1.0 / (1.0 + np.exp(-logits_bn2))).astype(np.float32)
+        if self.ensemble.model is None:
+            raise NotImplementedError(
+                "per-head diagnostics need the parameter tree; this pipeline "
+                "serves from a StableHLO artifact (from_artifact)")
         if self._jit_per_head is None:
             spec, sr = self.spec, self.audio.sample_rate
 

@@ -3,7 +3,10 @@
 The artifact must reproduce the live serving program's logits to float
 tolerance after a serialize → bytes → deserialize round trip (separately
 compiled executables differ in fusion order at the ~1e-7 level), carry its
-metadata, and accept the int16 PCM transport entry point.
+metadata, expose one entry per exported batch size, accept the int16 PCM
+transport entry point, and drive a full artifact-backed
+InferencePipeline.from_artifact analyze with verdicts identical to the
+checkpoint-backed pipeline.
 """
 
 import dataclasses
@@ -15,13 +18,17 @@ import pytest
 
 from synthetic_audio_detection_tpu.ensemble.multihead import build_ensemble
 from synthetic_audio_detection_tpu.infer import export as sadx
-from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
+from synthetic_audio_detection_tpu.infer.pipeline import (
+    InferencePipeline,
+    _forward_windows,
+)
 from synthetic_audio_detection_tpu.models.classifier import (
     BinaryClassifier,
     init_classifier,
 )
 from synthetic_audio_detection_tpu.utils.config import (
     AudioConfig,
+    InferenceConfig,
     SpectrogramConfig,
 )
 
@@ -35,9 +42,9 @@ def tiny_ensemble():
                           detect_shared_backbone=False)
 
 
-def _windows(dtype):
+def _windows(dtype, n=2):
     rng = np.random.default_rng(0)
-    ints = rng.integers(-32768, 32768, size=(2, 128_000), dtype=np.int16)
+    ints = rng.integers(-32768, 32768, size=(n, 128_000), dtype=np.int16)
     if dtype == np.int16:
         return ints
     return ints.astype(np.float32) / 32768.0
@@ -46,15 +53,16 @@ def _windows(dtype):
 def test_artifact_roundtrip_matches_live_serving(tiny_ensemble, tmp_path):
     spec = SpectrogramConfig.inference(out_size=64)
     data = sadx.export_serving(
-        tiny_ensemble, spec=spec, batch_size=2,
+        tiny_ensemble, spec=spec, batch_sizes=(2,),
         transport_dtype="float32", compute_dtype=jnp.float32,
     )
     path = tmp_path / "m.sadx"
     sadx.write_artifact(str(path), data)
-    fn, meta = sadx.load_artifact(str(path))
+    calls, meta = sadx.load_artifact(str(path))
+    assert sorted(calls) == [2]
 
     w = _windows(np.float32)
-    got = np.asarray(fn(w))
+    got = np.asarray(calls[2](w))
     want = np.asarray(_forward_windows(
         tiny_ensemble.variables, jnp.asarray(w),
         ensemble=tiny_ensemble, spec_cfg=spec,
@@ -65,21 +73,21 @@ def test_artifact_roundtrip_matches_live_serving(tiny_ensemble, tmp_path):
     assert got.shape == (2, 3)  # [B, N+1]
 
     assert meta["class_names"] == ["A", "B", "Real"]
-    assert meta["batch_size"] == 2
+    assert meta["entries"] == [{"batch_size": 2,
+                                "nbytes": meta["entries"][0]["nbytes"]}]
     assert meta["spec"] == dataclasses.asdict(spec)
 
 
 def test_artifact_int16_transport_entry_point(tiny_ensemble):
     spec = SpectrogramConfig.inference(out_size=64)
     data = sadx.export_serving(
-        tiny_ensemble, spec=spec, batch_size=2,
+        tiny_ensemble, spec=spec, batch_sizes=(2,),
         transport_dtype="int16", compute_dtype=jnp.float32,
     )
-    fn, meta = sadx.load_artifact(data)
+    calls, meta = sadx.load_artifact(data)
     assert meta["transport_dtype"] == "int16"
 
-    ints = _windows(np.int16)
-    got = np.asarray(fn(ints))
+    got = np.asarray(calls[2](_windows(np.int16)))
     want = np.asarray(_forward_windows(
         tiny_ensemble.variables, jnp.asarray(_windows(np.float32)),
         ensemble=tiny_ensemble, spec_cfg=spec,
@@ -87,6 +95,47 @@ def test_artifact_int16_transport_entry_point(tiny_ensemble):
         use_gemm_dft=True, compute_dtype=jnp.float32,
     ))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_from_artifact_matches_checkpoint_pipeline(
+        tiny_ensemble, tmp_path):
+    """Full serve-from-artifact path: multi-bucket export, from_artifact
+    pipeline, analyze a real WAV — verdict labels identical and percentages
+    at float tolerance vs the checkpoint-backed pipeline; per-head
+    diagnostics refuse cleanly."""
+    from synthetic_audio_detection_tpu.audio import wavio
+
+    spec = SpectrogramConfig.inference(out_size=64)
+    live = InferencePipeline(
+        tiny_ensemble, spec=spec,
+        infer=InferenceConfig(batch_size=4),
+        compute_dtype=jnp.float32, transport_dtype="int16",
+    )
+    data = sadx.export_serving(
+        tiny_ensemble, spec=spec, batch_sizes=(2, 4),
+        transport_dtype="int16", compute_dtype=jnp.float32,
+    )
+    pipe = InferencePipeline.from_artifact(data)
+    assert pipe._bucket_sizes == [2, 4]
+    assert pipe.ensemble.class_names == ["A", "B", "Real"]
+
+    rng = np.random.default_rng(3)
+    wav = tmp_path / "clip.wav"
+    wavio.write_wav(str(wav),
+                    (rng.standard_normal(13 * 32_000) * 0.2).clip(-1, 1),
+                    32_000)
+    got = pipe.analyze_file(str(wav))
+    want = live.analyze_file(str(wav))
+    assert [s["label"] for s in got["segments"]] == [
+        s["label"] for s in want["segments"]]
+    for k in got["percentages"]:
+        assert got["percentages"][k] == pytest.approx(
+            want["percentages"][k], abs=1e-3)
+
+    with pytest.raises(NotImplementedError, match="artifact"):
+        pipe.per_head_sigmoids(_windows(np.float32))
+    with pytest.raises(NotImplementedError, match="artifact"):
+        pipe.logits_and_per_head(_windows(np.float32))
 
 
 def test_artifact_rejects_bad_magic():
