@@ -187,6 +187,12 @@ def main(argv=None) -> int:
                    "default = the exporting process's backend")
     args = p.parse_args(argv)
 
+    from synthetic_audio_detection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     ensemble = serialization.load_merged(args.merged_model,
                                          backbone=args.backbone)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

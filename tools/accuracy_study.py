@@ -35,6 +35,12 @@ def main(argv=None) -> int:
     p.add_argument("--backbone", default="resnet18")
     args = p.parse_args(argv)
 
+    from synthetic_audio_detection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     import jax.numpy as jnp
     import numpy as np
 
