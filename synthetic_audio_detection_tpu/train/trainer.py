@@ -342,11 +342,13 @@ class Trainer:
                     and padded["audio"].dtype != np.int16):
                 # PCM transport (utils/config.py:TrainConfig.transport_dtype):
                 # exact for the post-ETL PCM_16 segment contract; the jitted
-                # step dequantizes on device.
+                # step dequantizes on device. float32 math: i/32768*32768 is
+                # exact in f32 for |i| < 2^24, and this runs per batch on the
+                # host's critical path.
                 padded = dict(
                     padded,
                     audio=np.clip(
-                        np.round(padded["audio"].astype(np.float64) * 32768.0),
+                        np.round(padded["audio"] * np.float32(32768.0)),
                         -32768, 32767,
                     ).astype(np.int16),
                 )
