@@ -60,6 +60,10 @@ def main(argv=None) -> int:
     )
 
     if args.artifact:
+        if args.bf16 or args.input_size != 512 or args.batch_size != 128:
+            logging.warning(
+                "--bf16/--input-size/--batch-size are baked into the "
+                "artifact at export time; ignoring the CLI values")
         pipeline = InferencePipeline.from_artifact(
             args.artifact,
             infer=InferenceConfig(threshold=args.threshold),
