@@ -405,7 +405,10 @@ def make_eval_step(
 ) -> Callable:
     """eval_step(variables, batch) -> per-batch sufficient statistics
     (loss-sum, correct-count, per-class confusion counts) so the host can
-    aggregate the reference's classification report (submodel_trainer.py:376-383)."""
+    aggregate the reference's classification report (submodel_trainer.py:376-383),
+    plus the per-row softmax probabilities so it can also compute
+    threshold-free detector metrics (ROC-AUC/EER, utils/metrics.py) that
+    need the full score ordering rather than counts."""
 
     def eval_step(variables, batch):
         if from_waveforms:
@@ -426,6 +429,7 @@ def make_eval_step(
         n_cls = logits.shape[-1]
         # confusion: rows = true, cols = pred (pad rows weighted out)
         conf = jnp.zeros((n_cls, n_cls), jnp.float32).at[labels, pred].add(w)
-        return {"loss_sum": loss_sum, "confusion": conf, "count": w.sum()}
+        return {"loss_sum": loss_sum, "confusion": conf, "count": w.sum(),
+                "probs": jnp.exp(logp)}
 
     return eval_step

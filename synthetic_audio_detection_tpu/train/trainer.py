@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from synthetic_audio_detection_tpu.audio import wavio
 from synthetic_audio_detection_tpu.checkpoints import serialization
 from synthetic_audio_detection_tpu.data import dataset as ds
 from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
@@ -78,6 +79,10 @@ class EpochResult:
     val_acc: float = 0.0
     report: Dict[str, Dict[str, float]] = field(default_factory=dict)
     confusion: Optional[np.ndarray] = None
+    # threshold-free detector metrics (Real = class 0 vs any-synthetic);
+    # None when the eval split lacks one of the sides
+    val_auc: Optional[float] = None
+    val_eer: Optional[float] = None
 
 
 class Trainer:
@@ -342,16 +347,9 @@ class Trainer:
                     and padded["audio"].dtype != np.int16):
                 # PCM transport (utils/config.py:TrainConfig.transport_dtype):
                 # exact for the post-ETL PCM_16 segment contract; the jitted
-                # step dequantizes on device. float32 math: i/32768*32768 is
-                # exact in f32 for |i| < 2^24, and this runs per batch on the
-                # host's critical path.
-                padded = dict(
-                    padded,
-                    audio=np.clip(
-                        np.round(padded["audio"] * np.float32(32768.0)),
-                        -32768, 32767,
-                    ).astype(np.int16),
-                )
+                # step dequantizes on device. Shared with serving so both
+                # transports round identically (wavio.pcm16_quantize).
+                padded = dict(padded, audio=wavio.pcm16_quantize(padded["audio"]))
             if self.mesh is not None:
                 padded = sh.shard_batch(self.mesh, padded)
             yield padded
@@ -401,16 +399,28 @@ class Trainer:
         confusion = np.zeros((n_cls, n_cls), np.float64)
         count = 0.0
         variables = self.state.variables()
+        scores: list = []
+        is_syn: list = []
         for batch in self._batches(batcher, epoch, target_rows):
             stats = self._eval_step(variables, batch)
             loss_sum += float(stats["loss_sum"])
             confusion += np.asarray(stats["confusion"], np.float64)
             count += float(stats["count"])
+            # any-synthetic score = 1 - P(Real); labels/weights are host-side
+            valid = np.asarray(batch["weight"]) > 0
+            probs = np.asarray(stats["probs"], np.float32)[valid]
+            scores.append(1.0 - probs[:, 0])
+            is_syn.append(np.asarray(batch["label"])[valid] != 0)
         result = EpochResult()
         result.val_loss = loss_sum / max(count, 1.0)
         result.val_acc = float(np.trace(confusion) / max(count, 1.0))
         result.report = metrics_mod.report_from_confusion(confusion, self.class_names)
         result.confusion = confusion
+        if scores:
+            s, y = np.concatenate(scores), np.concatenate(is_syn)
+            if 0 < y.sum() < y.size:  # ROC needs both sides present
+                result.val_auc = metrics_mod.roc_auc(s, y)
+                result.val_eer = metrics_mod.equal_error_rate(s, y)[0]
         return result
 
     def fit(self, data_dir: Optional[str] = None) -> float:
@@ -462,6 +472,11 @@ class Trainer:
             self.writer.add_scalar("epoch/train_loss", tr["loss"], epoch)
             self.writer.add_scalar("epoch/val_loss", result.val_loss, epoch)
             self.writer.add_scalar("epoch/val_accuracy", result.val_acc, epoch)
+            if result.val_auc is not None:
+                self.writer.add_scalar("epoch/val_auc", result.val_auc, epoch)
+                self.writer.add_scalar("epoch/val_eer", result.val_eer, epoch)
+                log.info("epoch %d: val AUC %.4f EER %.4f",
+                         epoch, result.val_auc, result.val_eer)
             log.info(
                 "epoch %d: train loss %.4f | val loss %.4f acc %.4f | lr scale %.4f",
                 epoch, tr["loss"], result.val_loss, result.val_acc, scale,
@@ -486,4 +501,7 @@ class Trainer:
         result = self.validate(batcher, 0)
         log.info("\n%s", metrics_mod.format_confusion(result.confusion, self.class_names))
         log.info("\n%s", metrics_mod.format_report(result.report))
+        if result.val_auc is not None:
+            log.info("detector AUC %.4f  EER %.4f (Real vs any-synthetic)",
+                     result.val_auc, result.val_eer)
         return result

@@ -55,3 +55,89 @@ def test_stage_timer():
     assert t.totals["a"] >= 0.02
     report = t.report()
     assert "a: total" in report and "b: total" in report
+
+
+# ---------------------------------------------------------------------------
+# ROC / AUC / EER vs sklearn + scipy oracles
+
+
+def test_roc_auc_matches_sklearn():
+    import numpy as np
+    from sklearn.metrics import roc_auc_score
+
+    from synthetic_audio_detection_tpu.utils import metrics as M
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n = int(rng.integers(8, 300))
+        y = rng.integers(0, 2, n)
+        if y.sum() in (0, n):
+            y[0], y[-1] = 0, 1
+        # half the trials use heavily tied (quantized) scores
+        s = rng.normal(size=n) + 0.8 * y
+        if trial % 2:
+            s = np.round(s * 4) / 4
+        assert M.roc_auc(s, y) == pytest.approx(roc_auc_score(y, s), abs=1e-12)
+
+
+def test_roc_points_match_sklearn():
+    import numpy as np
+    from sklearn.metrics import roc_curve
+
+    from synthetic_audio_detection_tpu.utils import metrics as M
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 2, 64)
+    y[0], y[1] = 0, 1
+    s = np.round(rng.normal(size=64), 1)  # force ties
+    fpr, tpr, thr = M.binary_roc(s, y)
+    ref_fpr, ref_tpr, ref_thr = roc_curve(y, s, drop_intermediate=False)
+    assert np.allclose(fpr, ref_fpr) and np.allclose(tpr, ref_tpr)
+    # sklearn's leading threshold is inf too (>= 1.0 semantics match)
+    assert np.allclose(thr[1:], ref_thr[1:]) and np.isinf(thr[0])
+
+
+def test_eer_matches_brentq_interpolation():
+    """The classic EER recipe: root of 1 - x - interp1d(fpr, tpr)(x)."""
+    import numpy as np
+    from scipy.interpolate import interp1d
+    from scipy.optimize import brentq
+    from sklearn.metrics import roc_curve
+
+    from synthetic_audio_detection_tpu.utils import metrics as M
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(30, 400))
+        y = rng.integers(0, 2, n)
+        if y.sum() in (0, n):
+            y[0], y[-1] = 0, 1
+        s = rng.normal(size=n) + 1.2 * y  # continuous: no ties
+        fpr, tpr, _ = roc_curve(y, s, drop_intermediate=False)
+        oracle = brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0)
+        eer, thr = M.equal_error_rate(s, y)
+        assert eer == pytest.approx(oracle, abs=1e-9)
+        # the returned threshold is an achievable operating point near the EER
+        pred = s >= thr
+        got_fpr = (pred & (y == 0)).sum() / (y == 0).sum()
+        got_fnr = (~pred & (y == 1)).sum() / (y == 1).sum()
+        assert max(got_fpr, got_fnr) <= eer + max(
+            1.0 / (y == 0).sum(), 1.0 / (y == 1).sum()
+        ) + 1e-9
+
+
+def test_eer_perfect_and_random_detectors():
+    import numpy as np
+
+    from synthetic_audio_detection_tpu.utils import metrics as M
+
+    y = np.array([0, 0, 0, 1, 1, 1])
+    s = np.array([0.1, 0.2, 0.3, 0.7, 0.8, 0.9])
+    eer, thr = M.equal_error_rate(s, y)
+    assert eer == 0.0 and 0.3 < thr <= 0.7
+    assert M.roc_auc(s, y) == 1.0
+    # anti-detector: reversed scores -> EER 1, AUC 0
+    assert M.roc_auc(-s, y) == 0.0
+    # degenerate labels rejected
+    with pytest.raises(ValueError):
+        M.roc_auc(s, np.ones_like(y))

@@ -77,6 +77,7 @@ def main(argv=None) -> int:
     n = bin_ok = attr_ok = 0
     per_class = collections.defaultdict(lambda: [0, 0, 0])  # n, bin, attr
     confusion = collections.Counter()
+    det_scores, det_truth = [], []  # per-file synthetic-ness score / label
     for cls in classes:
         folder = os.path.join(args.data_dir, cls)
         for name in sorted(os.listdir(folder)):
@@ -102,6 +103,11 @@ def main(argv=None) -> int:
                 attr_ok += 1
                 per_class[cls][2] += 1
             confusion[(cls, label)] += 1
+            if res["percentages"]:
+                # synthetic-ness score = 1 - mean real sigmoid (the unanimity
+                # rule's primary axis) — feeds threshold-free AUC/EER
+                det_scores.append(1.0 - res["percentages"][real_name] / 100.0)
+                det_truth.append(not is_real_true)
 
     out = {
         "input_size": args.input_size or "native",
@@ -116,6 +122,15 @@ def main(argv=None) -> int:
         },
         "confusion": {f"{t}->{p}": c for (t, p), c in sorted(confusion.items())},
     }
+    truth = np.asarray(det_truth, bool)
+    if truth.size and 0 < truth.sum() < truth.size:
+        from synthetic_audio_detection_tpu.utils import metrics as metrics_mod
+
+        s = np.asarray(det_scores, np.float64)
+        eer, thr = metrics_mod.equal_error_rate(s, truth)
+        out["binary_auc"] = round(metrics_mod.roc_auc(s, truth), 6)
+        out["binary_eer"] = round(eer, 6)
+        out["binary_eer_threshold"] = round(thr, 6)
     print(json.dumps(out))
     return 0
 
