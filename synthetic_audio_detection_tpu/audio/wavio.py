@@ -119,6 +119,19 @@ def read_wav(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
         return read_wav_bytes(f.read())
 
 
+def pcm16_quantize(x: np.ndarray) -> np.ndarray:
+    """Float waveform → int16 transport codes: scale by 32768, round to
+    nearest, clamp to the int16 range (the device side dequantizes with the
+    symmetric /32768). One shared quantizer for the training AND serving
+    int16 transports so both paths round identically. float32 math: exact
+    for PCM-grid inputs (integers < 2^24 survive f32) and half the host
+    memory traffic of an f64 upcast — this runs on the host critical path."""
+    return np.clip(
+        np.round(np.asarray(x, np.float32) * np.float32(32768.0)),
+        -32768, 32767,
+    ).astype(np.int16)
+
+
 def write_wav(
     path: Union[str, os.PathLike],
     waveform: np.ndarray,

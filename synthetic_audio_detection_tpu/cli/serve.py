@@ -64,8 +64,11 @@ def main(argv=None) -> int:
             logging.warning(
                 "--bf16/--input-size/--batch-size are baked into the "
                 "artifact at export time; ignoring the CLI values")
+        # --overlap and --threshold stay host-side (windowing / decision
+        # rule) and are honored for artifact serving too
         pipeline = InferencePipeline.from_artifact(
             args.artifact,
+            audio=AudioConfig(overlap=args.overlap),
             infer=InferenceConfig(threshold=args.threshold),
         )
         source = args.artifact

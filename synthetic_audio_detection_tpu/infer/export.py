@@ -5,8 +5,9 @@ that rebuilds the model around it (inference_runner.py:77-123: key-space
 discovery, timm backbone construction, dummy forward). A TPU-native
 framework can ship something stronger: ``jax.export`` lowers the ENTIRE
 serving program — int16 PCM dequantization, the mel front end, the vmapped
-multi-head forward, the ``[B, N+1]`` aggregation — into one serialized
-StableHLO module with the trained weights baked in as constants. The
+multi-head forward, the ``[B, N+1]`` aggregation — into serialized
+StableHLO modules (one per batch-size entry) plus ONE shared copy of the
+trained weights, bound to every entry as call arguments at load time. The
 artifact is:
 
 * **self-contained** — loadable from any JAX process via
@@ -26,6 +27,7 @@ No reference counterpart — an extra serving surface like infer/server.py
 from __future__ import annotations
 
 import dataclasses
+import functools
 import io
 import json
 import os
@@ -46,11 +48,17 @@ _MAGIC = b"SADX1\n"
 
 def _serving_fn(ensemble: MultiHeadEnsemble, spec: SpectrogramConfig,
                 sample_rate: int, compute_dtype: Any, use_fast_backbone: bool):
+    """→ (fn(weight_leaves, windows) -> logits, weight_leaves).
+
+    The weight tree rides as an ARGUMENT (flat leaf list; the treedef is
+    static program structure), not as baked constants — a multi-batch-size
+    artifact then stores the weights ONCE instead of once per entry."""
     from synthetic_audio_detection_tpu.infer.pipeline import _forward_windows
 
-    variables = ensemble.variables
+    leaves, treedef = jax.tree_util.tree_flatten(ensemble.variables)
 
-    def fn(windows):
+    def fn(weight_leaves, windows):
+        variables = jax.tree_util.tree_unflatten(treedef, weight_leaves)
         return _forward_windows(
             variables, windows,
             ensemble=ensemble, spec_cfg=spec, sample_rate=sample_rate,
@@ -59,7 +67,7 @@ def _serving_fn(ensemble: MultiHeadEnsemble, spec: SpectrogramConfig,
             use_fast_backbone=use_fast_backbone,
         )
 
-    return fn
+    return fn, leaves
 
 
 def export_serving(
@@ -74,7 +82,8 @@ def export_serving(
     platforms: Optional[Sequence[str]] = None,
 ) -> bytes:
     """Serialize the full serving program — one entry per batch size —
-    for ``[b, window]`` windows → ``[b, N+1]`` logits, weights baked in.
+    for ``[b, window]`` windows → ``[b, N+1]`` logits; the weight tree is
+    stored once and shared by all entries.
 
     ``batch_sizes`` defaults to the live pipeline's two-level buckets
     (8 for short clips, 128 for throughput — infer/pipeline.py:_bucket),
@@ -94,15 +103,21 @@ def export_serving(
         raise ValueError("need at least one batch size")
     in_dtype = jnp.int16 if transport_dtype == "int16" else jnp.float32
 
-    fn = _serving_fn(ensemble, spec, audio.sample_rate, compute_dtype,
-                     use_fast_backbone)
+    fn, leaves = _serving_fn(ensemble, spec, audio.sample_rate, compute_dtype,
+                             use_fast_backbone)
     jit_fn = jax.jit(fn)
+    import numpy as np
+    from flax import serialization as flax_ser
+
+    np_leaves = [np.asarray(leaf) for leaf in leaves]
+    weights_blob = flax_ser.msgpack_serialize(np_leaves)
+    leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in np_leaves]
     payloads, entries, platforms_out = [], [], None
     for b in sorted(set(int(b) for b in batch_sizes)):
         arg = jax.ShapeDtypeStruct((b, audio.window_samples), in_dtype)
         exported = jexport.export(
             jit_fn, platforms=tuple(platforms) if platforms else None,
-        )(arg)
+        )(leaf_specs, arg)
         payload = exported.serialize()
         payloads.append(payload)
         entries.append({"batch_size": b, "nbytes": len(payload)})
@@ -118,12 +133,17 @@ def export_serving(
         "compute_dtype": jnp.dtype(compute_dtype).name,
         "platforms": platforms_out,
         "spec": dataclasses.asdict(spec),
+        # weights stored ONCE (msgpack leaf list) and passed to every entry
+        # as arguments; absent in pre-dedup artifacts, whose entries baked
+        # the weights in as constants (load_artifact handles both)
+        "weights_nbytes": len(weights_blob),
     }
     head = json.dumps(meta, sort_keys=True).encode()
     buf = io.BytesIO()
     buf.write(_MAGIC)
     buf.write(struct.pack("<I", len(head)))
     buf.write(head)
+    buf.write(weights_blob)
     for payload in payloads:
         buf.write(payload)
     return buf.getvalue()
@@ -136,7 +156,10 @@ def write_artifact(path: str, data: bytes) -> None:
 
 def load_artifact(path_or_bytes):
     """→ ({batch_size: callable ``fn(windows) -> logits``}, metadata dict).
-    Needs only jax — no model code, checkpoints, or framework classes."""
+    Needs only jax (+ flax's msgpack codec for the shared weight blob) —
+    no model code, checkpoints, or framework classes. The shared weights
+    are bound to each entry here, so callers still see windows-only
+    callables."""
     from jax import export as jexport
 
     if isinstance(path_or_bytes, (str, os.PathLike)):
@@ -151,11 +174,24 @@ def load_artifact(path_or_bytes):
     off += 4
     meta = json.loads(data[off : off + hlen].decode())
     off += hlen
+    weight_leaves = None
+    if meta.get("weights_nbytes"):
+        from flax import serialization as flax_ser
+
+        n = meta["weights_nbytes"]
+        weight_leaves = [
+            jnp.asarray(a)
+            for a in flax_ser.msgpack_restore(data[off : off + n])
+        ]
+        off += n
     calls = {}
     for entry in meta["entries"]:
         n = entry["nbytes"]
-        calls[entry["batch_size"]] = jexport.deserialize(
-            data[off : off + n]).call
+        call = jexport.deserialize(data[off : off + n]).call
+        if weight_leaves is not None:
+            # bind the shared weights: entries take (leaves, windows)
+            call = functools.partial(call, weight_leaves)
+        calls[entry["batch_size"]] = call
         off += n
     if off != len(data):
         raise ValueError("artifact payload length mismatch")

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from synthetic_audio_detection_tpu.audio import wavio
 from synthetic_audio_detection_tpu.ensemble.multihead import (
     MultiHeadEnsemble,
     _aggregate,
@@ -342,11 +343,11 @@ class InferencePipeline:
             model=None, variables=None,
             class_names=list(meta["class_names"]),
         )
-        self.audio = audio or AudioConfig(sample_rate=meta["sample_rate"])
-        if self.audio.sample_rate != meta["sample_rate"]:
-            raise ValueError(
-                f"artifact was exported for {meta['sample_rate']} Hz, "
-                f"pipeline configured for {self.audio.sample_rate}")
+        # host-side knobs (overlap, silence gate) come from the caller; the
+        # sample rate is the artifact's — it defines what the exported
+        # program expects, and preprocess_waveform resamples to it
+        self.audio = dataclasses.replace(
+            audio or AudioConfig(), sample_rate=meta["sample_rate"])
         self.spec = SpectrogramConfig(**meta["spec"])
         self.infer = infer or InferenceConfig(batch_size=sizes[-1])
         self.use_gemm_dft = True
@@ -385,16 +386,17 @@ class InferencePipeline:
             bucket = sh.pad_batch_to_multiple(bucket, self.mesh)
         return bucket
 
-    def _bucketed_batches(self, windows: np.ndarray):
+    def _bucketed_batches(self, windows: np.ndarray, quantize: bool = True):
         """Yield (device-ready batch, rows-to-keep) pairs: windows padded up
         to the two-level bucket sizes (so each pipeline compiles at most two
-        program shapes), int16 transport applied, mesh sharding applied."""
+        program shapes), int16 transport applied (unless ``quantize=False`` —
+        the reference-numerics diagnostics path must see the raw floats),
+        mesh sharding applied."""
         num = windows.shape[0]
         bucket = self._bucket(num)
-        if self.transport_dtype == "int16" and windows.dtype != np.int16:
-            windows = np.clip(
-                np.round(windows.astype(np.float64) * 32768.0), -32768, 32767
-            ).astype(np.int16)
+        if (quantize and self.transport_dtype == "int16"
+                and windows.dtype != np.int16):
+            windows = wavio.pcm16_quantize(windows)
         i = 0
         while i < num:
             take = min(bucket, num - i)
@@ -498,7 +500,7 @@ class InferencePipeline:
 
             self._jit_per_head = jax.jit(fwd)
         out = []
-        for batch, take in self._bucketed_batches(windows):
+        for batch, take in self._bucketed_batches(windows, quantize=False):
             logits_nb2 = np.asarray(
                 self._jit_per_head(self.ensemble.variables, batch), np.float32
             )

@@ -141,3 +141,35 @@ def test_pipeline_from_artifact_matches_checkpoint_pipeline(
 def test_artifact_rejects_bad_magic():
     with pytest.raises(ValueError, match="bad magic"):
         sadx.load_artifact(b"NOPE" + b"\0" * 32)
+
+
+def test_from_artifact_honors_host_audio_config(tiny_ensemble):
+    """Host-side knobs (overlap, silence gate) come from the caller; the
+    sample rate always comes from the artifact (it defines what the exported
+    program expects — cli/serve.py --overlap path)."""
+    spec = SpectrogramConfig.inference(out_size=64)
+    data = sadx.export_serving(
+        tiny_ensemble, spec=spec, batch_sizes=(2,),
+        audio=AudioConfig(sample_rate=16_000),
+        transport_dtype="float32", compute_dtype=jnp.float32,
+    )
+    pipe = InferencePipeline.from_artifact(
+        data, audio=AudioConfig(overlap=0.5, silence_threshold=1e-4))
+    assert pipe.audio.overlap == 0.5
+    assert pipe.audio.silence_threshold == 1e-4
+    assert pipe.audio.sample_rate == 16_000  # artifact wins
+
+    # weight dedup: the two-entry export stores the weight blob once
+    two = sadx.export_serving(
+        tiny_ensemble, spec=spec, batch_sizes=(2, 4),
+        transport_dtype="float32", compute_dtype=jnp.float32,
+    )
+    one = sadx.export_serving(
+        tiny_ensemble, spec=spec, batch_sizes=(2,),
+        transport_dtype="float32", compute_dtype=jnp.float32,
+    )
+    _, meta = sadx.load_artifact(two)
+    assert meta["weights_nbytes"] > 0
+    # adding a second entry must NOT add another weight copy: growth is far
+    # below the weight blob size
+    assert len(two) - len(one) < meta["weights_nbytes"] // 2
