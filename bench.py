@@ -103,9 +103,10 @@ def _measure_config(ens, out_size: int, on_tpu: bool, iters: int = ITERS) -> flo
         use_gemm_dft=True,
         compute_dtype=jnp.bfloat16,
         use_pallas=on_tpu,  # fused mel kernel on TPU
-        # folded-affine backbone: +3.3% at 512²; at native the flax+mono
-        # path measured faster (throughput.py sweep) — match serving's gate
-        use_fast_backbone=on_tpu and out_size != 0,
+        # folded-affine backbone at every size — matches the serving
+        # auto-gate (with the factored-DFT mel the fast path wins at native
+        # too: 41,235 fastpath-mono vs 40,076 mono, infer/pipeline.py gate)
+        use_fast_backbone=on_tpu,
     )
 
     rng = np.random.default_rng(0)
@@ -133,43 +134,86 @@ def _measure_config(ens, out_size: int, on_tpu: bool, iters: int = ITERS) -> flo
     return BATCH / per_iter
 
 
-def main() -> None:
-    _enable_compile_cache()
+# fidelity modes: out_size (0 = native mel resolution) and loop iterations
+# (native needs more: at ~4 ms/batch the 10-iteration differencing is at the
+# tunnel's timing noise floor)
+MODES = {"headline": (512, ITERS), "fast": (256, ITERS), "native": (0, 51)}
+
+
+def _measure_mode(mode: str) -> float:
     from __graft_entry__ import _flagship_ensemble
 
     ens = _flagship_ensemble(n_heads=6, shared_backbone=True,
                              dtype=jnp.bfloat16)
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    out_size, iters = MODES[mode]
+    return _measure_config(ens, out_size, on_tpu, iters=iters)
 
-    # headline: 512² reference fidelity (meaning unchanged round over round)
-    headline = _measure_config(ens, 512, on_tpu)
+
+def _measure_mode_fresh_process(mode: str) -> float:
+    """Re-measure a mode in a FRESH interpreter. Same-process multi-MODE
+    timing sequences are contaminated on this rig (readings after the first
+    program can run ~2× fast — CLAUDE.md's twice-confirmed rule), so the
+    secondary fidelity figures each get their own process; the persistent
+    compile cache keeps the repeat compile cost at zero."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, __file__, "--mode", mode],
+        capture_output=True, text=True, timeout=3600, check=True,
+    )
+    return float(res.stdout.strip().splitlines()[-1])
+
+
+def main(mode: str = "") -> None:
+    _enable_compile_cache()
+    if mode:  # subprocess entry: print one mode's bare figure
+        print(_measure_mode(mode))
+        return
+
+    # headline: 512² reference fidelity (meaning unchanged round over round),
+    # measured FIRST in this process per the first-position timing rule
+    headline = _measure_mode("headline")
     out = {
         "metric": "4s_segments_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "segments/s",
         "vs_baseline": round(headline / TARGET_SEGS_PER_SEC, 4),
     }
-    # supported fidelity modes as secondary fields; a failure here must not
-    # cost the headline line
-    try:
-        fast = _measure_config(ens, 256, on_tpu)
-        # native uses more loop iterations: at ~4 ms/batch the 10-iteration
-        # differencing is at the tunnel's timing noise floor
-        native = _measure_config(ens, 0, on_tpu, iters=51)
-        out["fast_256_segments_per_sec"] = round(fast, 1)
-        out["native_segments_per_sec"] = round(native, 1)
-        out["native_vs_baseline"] = round(native / TARGET_SEGS_PER_SEC, 4)
-    except Exception:  # noqa: BLE001
-        pass
+    # supported fidelity modes as secondary fields, each in a fresh process
+    # (see _measure_mode_fresh_process); a failure here must not cost the
+    # headline line — fall back to the same-process reading, flagged as such
+    for key, m in (("fast_256_segments_per_sec", "fast"),
+                   ("native_segments_per_sec", "native")):
+        try:
+            out[key] = round(_measure_mode_fresh_process(m), 1)
+        except Exception:  # noqa: BLE001
+            try:
+                out[key] = round(_measure_mode(m), 1)
+                out[key.replace("_segments_per_sec", "_same_process")] = True
+            except Exception:  # noqa: BLE001
+                pass
+    if "native_segments_per_sec" in out:
+        out["native_vs_baseline"] = round(
+            out["native_segments_per_sec"] / TARGET_SEGS_PER_SEC, 4)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
+    import argparse
+
+    _p = argparse.ArgumentParser()
+    _p.add_argument("--mode", default="", choices=["", *MODES])
+    _args = _p.parse_args()
     try:
-        main()
+        main(_args.mode)
     except Exception as e:  # noqa: BLE001 - the driver needs its one JSON line
         import sys
 
+        if _args.mode:  # subprocess entry: signal failure, no JSON
+            print(f"bench --mode {_args.mode} failed: {e!r}", file=sys.stderr)
+            sys.exit(1)
         print(f"bench failed: {e!r}", file=sys.stderr)
         print(
             json.dumps(

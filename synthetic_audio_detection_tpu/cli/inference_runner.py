@@ -123,10 +123,12 @@ def main(argv=None) -> int:
         slice_waveform,
     )
 
-    def run_one(audio_path: str):
+    def run_one(audio_path: str, display_name: str = ""):
         """→ (payload_json_text, had_windows). Preprocess/slice ONCE and feed
         both the verdict pass and the optional per-head diagnostics from the
-        same windows."""
+        same windows. ``display_name`` overrides the JSON "filename" field
+        (folder mode writes the basename — stable regardless of how
+        --audio-dir was spelled; single-file mode writes the path verbatim)."""
         wf = preprocess_waveform(audio_path, pipeline.audio)
         windows, stamps = slice_waveform(wf, pipeline.audio)
         if args.per_head_diagnostics and windows.shape[0]:
@@ -150,7 +152,8 @@ def main(argv=None) -> int:
                 windows, stamps, smooth=args.smooth)
         # filename is the path AS PASSED (reference writes args.audio
         # verbatim, inference_runner.py:346)
-        return result_json(audio_path, result), bool(windows.shape[0])
+        return (result_json(display_name or audio_path, result),
+                bool(windows.shape[0]))
 
     if args.audio_dir:
         # folder mode: one warm pipeline across all files (the per-file CLI
@@ -182,7 +185,8 @@ def main(argv=None) -> int:
         failed = 0
         for name in files:
             try:
-                payload, _ = run_one(os.path.join(args.audio_dir, name))
+                payload, _ = run_one(os.path.join(args.audio_dir, name),
+                                     display_name=name)
             except Exception as e:  # noqa: BLE001 - per-file isolation,
                 # reported not swallowed (unlike the reference's silent skips)
                 logging.error("FAILED %s: %r", name, e)

@@ -260,10 +260,19 @@ def split_dataset(
             # greedy fill toward the file-count target
             target = round(split_ratio * len(files))
             train_files: List[str] = []
+            chosen: List[str] = []
             for k in keys:
                 if len(train_files) >= target:
                     break
                 train_files.extend(groups[k])
+                chosen.append(k)
+            if len(chosen) == len(keys) > 1 and 0 < split_ratio < 1:
+                # tiny-corpus guard: the greedy overshoot would drain every
+                # group into train, leaving test/<cls> empty — hold the last
+                # group back so both sides exist whenever there are >= 2
+                train_files = [
+                    f for f in train_files if f not in set(groups[chosen[-1]])
+                ]
             train_set = set(train_files)
         else:
             n_train = round(split_ratio * len(files))

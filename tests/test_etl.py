@@ -132,3 +132,27 @@ def test_threaded_split_deterministic(tmp_path):
     b = run("b", threads=4)
     c = run("c", threads=4)
     assert a == b == c
+
+
+def test_group_aware_split_tiny_corpus_keeps_test_nonempty(tmp_path):
+    """Greedy group fill must not drain every group into train when the
+    per-group overshoot spans the whole class (4 sources at ratio 0.8)."""
+    from synthetic_audio_detection_tpu.data import etl
+
+    src = tmp_path / "seg" / "Real"
+    src.mkdir(parents=True)
+    for g in range(4):
+        for s in range(11):
+            (src / f"{g:016x}_aug_{s}_Segment_000.wav").write_bytes(b"RIFF")
+    report = etl.split_dataset(
+        str(tmp_path / "seg"), str(tmp_path / "ds"),
+        split_ratio=0.8, seed=3,
+    )
+    train, test = report.per_class["Real"]
+    assert train > 0 and test > 0
+    # still leakage-free: no group on both sides
+    train_groups = {f.split("_")[0]
+                    for f in os.listdir(tmp_path / "ds" / "train" / "Real")}
+    test_groups = {f.split("_")[0]
+                   for f in os.listdir(tmp_path / "ds" / "test" / "Real")}
+    assert not (train_groups & test_groups)
