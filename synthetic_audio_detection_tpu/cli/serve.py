@@ -31,6 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap", type=float, default=0.0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--no-micro-batch", action="store_true",
+                   help="dispatch each request's windows alone instead of "
+                   "coalescing concurrent requests into shared device "
+                   "batches (infer/batching.py)")
+    p.add_argument("--linger-ms", type=float, default=0.0,
+                   help="micro-batching: wait up to this long for more "
+                   "requests before dispatching an idle-device batch "
+                   "(0 = drain-and-go; the device's own execution time "
+                   "already accumulates the next burst)")
     from synthetic_audio_detection_tpu.utils.config import parse_input_size
 
     p.add_argument("--input-size", type=parse_input_size, default=512,
@@ -91,7 +100,9 @@ def main(argv=None) -> int:
         )
         source = args.merged_model
     server = serve(pipeline, args.host, args.port,
-                   warmup=not args.no_warmup)
+                   warmup=not args.no_warmup,
+                   micro_batch=not args.no_micro_batch,
+                   linger_ms=args.linger_ms)
     logging.info("serving %s on http://%s:%d (classes: %s)",
                  source, args.host, args.port,
                  pipeline.ensemble.class_names)

@@ -6,6 +6,9 @@ framework keeps ONE warm InferencePipeline (compiled window buckets reused
 across requests) behind a minimal stdlib HTTP server — no web-framework
 dependency, thread-safe via a single dispatch lock (device execution is
 serialized anyway; host decode runs per-request in the handler thread).
+Concurrent verdict requests coalesce into shared device batches
+(infer/batching.py micro-batching, default on) so bursty short-clip load
+fills full MXU buckets instead of dispatching one bucket-8 program each.
 
 API:
     GET  /healthz            → {"status": "ok", "classes": [...]}
@@ -35,6 +38,7 @@ import numpy as np
 
 from synthetic_audio_detection_tpu.audio import wavio
 from synthetic_audio_detection_tpu.audio.dsp import resample_poly_np
+from synthetic_audio_detection_tpu.infer.batching import MicroBatcher
 from synthetic_audio_detection_tpu.infer.pipeline import (
     InferencePipeline,
     slice_waveform,
@@ -42,11 +46,29 @@ from synthetic_audio_detection_tpu.infer.pipeline import (
 
 
 class ServingState:
-    """Warm pipeline + dispatch lock shared across handler threads."""
+    """Warm pipeline + dispatch lock shared across handler threads.
 
-    def __init__(self, pipeline: InferencePipeline):
+    With ``micro_batch`` (the default), verdict forwards from concurrent
+    requests coalesce into shared device batches (infer/batching.py) —
+    the TPU sees full buckets under bursty short-clip load instead of one
+    bucket-8 program per request. The per-head diagnostics path keeps the
+    plain lock (it runs a different program shape)."""
+
+    def __init__(self, pipeline: InferencePipeline,
+                 micro_batch: bool = True, linger_ms: float = 0.0):
         self.pipeline = pipeline
         self.lock = threading.Lock()
+        self.batcher: Optional[MicroBatcher] = None
+        if micro_batch:
+            def locked_forward(windows):
+                with self.lock:  # serialize vs per_head/warmup dispatches
+                    return self.pipeline.logits_for_windows(windows)
+
+            self.batcher = MicroBatcher(
+                locked_forward,
+                max_windows=pipeline.infer.batch_size,
+                linger_ms=linger_ms,
+            )
 
     def analyze_wav_bytes(self, data: bytes, smooth: bool,
                           per_head: bool = False) -> Dict[str, Any]:
@@ -58,26 +80,34 @@ class ServingState:
         if mono.shape[0] < audio_cfg.window_samples:
             mono = np.pad(mono, (0, audio_cfg.window_samples - mono.shape[0]))
         windows, stamps = slice_waveform(mono.astype(np.float32), audio_cfg)
-        with self.lock:  # device dispatch is serialized
-            if per_head and windows.shape[0]:
+        if per_head and windows.shape[0]:
+            with self.lock:  # device dispatch is serialized
                 # ONE device program yields the serving logits AND the
                 # pre-aggregation view — same numerics by construction, and
                 # bucketed like serving so it never compiles an unbounded
                 # per-clip shape while holding the lock
                 logits, nh = self.pipeline.logits_and_per_head(windows)
+            result = self.pipeline.analyze_windows(
+                windows, stamps, smooth=smooth, logits=logits)
+            probs = 1.0 / (1.0 + np.exp(-nh))
+            # added under a NEW key so the reference schema stays intact
+            result["per_head"] = [
+                [[round(float(p), 4) for p in head] for head in window]
+                for window in probs
+            ]
+        else:
+            if self.batcher is not None and windows.shape[0]:
+                # verdict path: share the device batch with concurrent
+                # requests; the lock rides inside the batcher's forward
+                logits = self.batcher.logits(windows)
                 result = self.pipeline.analyze_windows(
                     windows, stamps, smooth=smooth, logits=logits)
-                probs = 1.0 / (1.0 + np.exp(-nh))
-                # added under a NEW key so the reference schema stays intact
-                result["per_head"] = [
-                    [[round(float(p), 4) for p in head] for head in window]
-                    for window in probs
-                ]
             else:
-                result = self.pipeline.analyze_windows(
-                    windows, stamps, smooth=smooth)
-                if per_head:  # all-silent clip: keep the key present
-                    result["per_head"] = []
+                with self.lock:
+                    result = self.pipeline.analyze_windows(
+                        windows, stamps, smooth=smooth)
+            if per_head:  # all-silent clip: keep the key present
+                result["per_head"] = []
         return result
 
     def warmup(self) -> None:
@@ -146,9 +176,14 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8321,
     warmup: bool = True,
+    micro_batch: bool = True,
+    linger_ms: float = 0.0,
 ) -> ThreadingHTTPServer:
     """Create (and return) the server; caller runs serve_forever()."""
-    state = ServingState(pipeline)
+    state = ServingState(pipeline, micro_batch=micro_batch,
+                         linger_ms=linger_ms)
     if warmup:
         state.warmup()
-    return ThreadingHTTPServer((host, port), make_handler(state))
+    srv = ThreadingHTTPServer((host, port), make_handler(state))
+    srv.serving_state = state  # tests/observability (dispatch_count)
+    return srv

@@ -129,3 +129,46 @@ def test_analyze_per_head_diagnostics(server_url):
     with urllib.request.urlopen(req2, timeout=120) as r:
         body2 = json.loads(r.read())
     assert "per_head" not in body2
+
+
+def test_concurrent_requests_coalesce_and_match_sequential(server_url):
+    """Micro-batching (default on): concurrent clips share device batches
+    and every response matches the same clip posted alone (verdict-exact;
+    percentages to float tolerance — a coalesced batch may execute in a
+    different bucket shape, which is a different XLA program)."""
+    clips = {f"c{i}.wav": _wav_bytes(4.5, freq=220.0 + 110.0 * i)
+             for i in range(6)}
+
+    def post(name, data):
+        req = urllib.request.Request(
+            f"{server_url}/analyze?filename={name}", data=data,
+            method="POST", headers={"Content-Type": "audio/wav"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    sequential = {name: post(name, data) for name, data in clips.items()}
+
+    concurrent = {}
+    errors = []
+
+    def run(name, data):
+        try:
+            concurrent[name] = post(name, data)
+        except BaseException as e:  # noqa: BLE001
+            errors.append((name, e))
+
+    threads = [threading.Thread(target=run, args=(n, d))
+               for n, d in clips.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    for name in clips:
+        seq, con = sequential[name], concurrent[name]
+        assert con["filename"] == name
+        assert [s["label"] for s in con["segments"]] == \
+               [s["label"] for s in seq["segments"]]
+        for cls, pct in seq["percentages"].items():
+            assert con["percentages"][cls] == pytest.approx(pct, abs=1e-3)
