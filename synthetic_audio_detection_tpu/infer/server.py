@@ -19,7 +19,10 @@ API:
                                → the reference JSON schema
                                  {filename, segments[], percentages{}}
     POST /analyze_batch      → body: JSON {"files": {"name": <base64 wav>, ...}}
-                               → {"results": {"name": {...}, ...}}
+                               → {"results": {"name": {...}, ...}}; files fan
+                               out through the micro-batcher so one request's
+                               clips share device batches; a bad file yields
+                               {"error": ...} for that name only
 
 Start:  python -m synthetic_audio_detection_tpu.cli.serve \
             --merged-model merged.pth --port 8321 [--bf16]
@@ -157,11 +160,33 @@ def make_handler(state: ServingState):
                     self._send(200, {"filename": name, **result})
                 elif parsed.path == "/analyze_batch":
                     req = json.loads(data)
+                    files = req.get("files", {})
+                    smooth = bool(req.get("smooth"))
                     results = {}
-                    for name, b64 in req.get("files", {}).items():
-                        results[name] = state.analyze_wav_bytes(
-                            base64.b64decode(b64), bool(req.get("smooth"))
-                        )
+                    if state.batcher is not None and len(files) > 1:
+                        # fan the files out so their windows coalesce into
+                        # shared device batches; per-file error isolation
+                        # (a bad file reports, the rest still analyze)
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        def one(item):
+                            name, b64 = item
+                            try:
+                                return name, state.analyze_wav_bytes(
+                                    base64.b64decode(b64), smooth)
+                            except Exception as e:  # noqa: BLE001
+                                return name, {"error": str(e)}
+
+                        with ThreadPoolExecutor(
+                                max_workers=min(8, len(files))) as pool:
+                            results = dict(pool.map(one, files.items()))
+                    else:
+                        for name, b64 in files.items():
+                            try:
+                                results[name] = state.analyze_wav_bytes(
+                                    base64.b64decode(b64), smooth)
+                            except Exception as e:  # noqa: BLE001
+                                results[name] = {"error": str(e)}
                     self._send(200, {"results": results})
                 else:
                     self._send(404, {"error": "not found"})

@@ -84,14 +84,22 @@ def test_analyze(server_url):
 
 def test_analyze_batch_and_error_isolation(server_url):
     good = base64.b64encode(_wav_bytes(4.5)).decode()
-    payload = json.dumps({"files": {"a.wav": good}}).encode()
+    good2 = base64.b64encode(_wav_bytes(4.5, freq=660.0)).decode()
+    bad = base64.b64encode(b"not a wav").decode()
+    payload = json.dumps(
+        {"files": {"a.wav": good, "b.wav": good2, "broken.wav": bad}}
+    ).encode()
     req = urllib.request.Request(
         f"{server_url}/analyze_batch", data=payload, method="POST",
         headers={"Content-Type": "application/json"},
     )
     with urllib.request.urlopen(req, timeout=120) as r:
         body = json.loads(r.read())
-    assert "a.wav" in body["results"]
+    # good files analyzed (their windows coalesced through the batcher),
+    # the bad file errors by name without failing the request
+    assert body["results"]["a.wav"]["segments"]
+    assert body["results"]["b.wav"]["segments"]
+    assert "error" in body["results"]["broken.wav"]
 
     # malformed wav → 400, server keeps serving
     bad = urllib.request.Request(
