@@ -2,8 +2,8 @@
 
 Drives the REAL serving pipeline (one warm InferencePipeline) over
 ``<data-dir>/<ClassName>/*.wav`` held-out segments and reports binary
-detection accuracy (Real vs any-synthetic) and attribution accuracy (exact
-class). This is the measurement behind docs/PERFORMANCE.md's
+detection accuracy (Real vs any-synthetic), attribution accuracy (exact
+class), and detector AUC/EER (infer/study.py evaluate_tree). This is the measurement behind docs/PERFORMANCE.md's
 train-resolution/serve-resolution table (512 vs 256 vs native).
 
 Usage (on TPU or CPU):
@@ -14,7 +14,6 @@ Usage (on TPU or CPU):
 from __future__ import annotations
 
 import argparse
-import collections
 import json
 import os
 import sys
@@ -42,14 +41,10 @@ def main(argv=None) -> int:
     enable_persistent_cache()
 
     import jax.numpy as jnp
-    import numpy as np
 
     from synthetic_audio_detection_tpu.checkpoints import serialization
-    from synthetic_audio_detection_tpu.infer.pipeline import (
-        InferencePipeline,
-        preprocess_waveform,
-        slice_waveform,
-    )
+    from synthetic_audio_detection_tpu.infer.pipeline import InferencePipeline
+    from synthetic_audio_detection_tpu.infer.study import evaluate_tree
     from synthetic_audio_detection_tpu.utils.config import (
         AudioConfig,
         InferenceConfig,
@@ -68,69 +63,11 @@ def main(argv=None) -> int:
         infer=InferenceConfig(batch_size=args.batch_size),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    real_name = ensemble.real_name
-
-    classes = sorted(
-        d for d in os.listdir(args.data_dir)
-        if os.path.isdir(os.path.join(args.data_dir, d))
-    )
-    n = bin_ok = attr_ok = 0
-    per_class = collections.defaultdict(lambda: [0, 0, 0])  # n, bin, attr
-    confusion = collections.Counter()
-    det_scores, det_truth = [], []  # per-file synthetic-ness score / label
-    for cls in classes:
-        folder = os.path.join(args.data_dir, cls)
-        for name in sorted(os.listdir(folder)):
-            if not name.lower().endswith(".wav"):
-                continue
-            wf = preprocess_waveform(os.path.join(folder, name), pipe.audio)
-            windows, stamps = slice_waveform(wf, pipe.audio)
-            if windows.shape[0] == 0:
-                continue
-            res = pipe.analyze_windows(windows, stamps)
-            # majority label over the file's windows (segments are 4 s, so
-            # usually exactly one window)
-            labels = [s["label"] for s in res["segments"]]
-            label = collections.Counter(labels).most_common(1)[0][0]
-            is_real_true = cls == real_name
-            is_real_pred = label == real_name
-            n += 1
-            per_class[cls][0] += 1
-            if is_real_true == is_real_pred:
-                bin_ok += 1
-                per_class[cls][1] += 1
-            if label == cls:
-                attr_ok += 1
-                per_class[cls][2] += 1
-            confusion[(cls, label)] += 1
-            if res["percentages"]:
-                # synthetic-ness score = 1 - mean real sigmoid (the unanimity
-                # rule's primary axis) — feeds threshold-free AUC/EER
-                det_scores.append(1.0 - res["percentages"][real_name] / 100.0)
-                det_truth.append(not is_real_true)
-
     out = {
         "input_size": args.input_size or "native",
         "dtype": "bf16" if args.bf16 else "f32",
-        "n_segments": n,
-        "binary_accuracy": round(bin_ok / max(n, 1), 4),
-        "attribution_accuracy": round(attr_ok / max(n, 1), 4),
-        "per_class": {
-            c: {"n": v[0], "binary": round(v[1] / max(v[0], 1), 4),
-                "attribution": round(v[2] / max(v[0], 1), 4)}
-            for c, v in per_class.items()
-        },
-        "confusion": {f"{t}->{p}": c for (t, p), c in sorted(confusion.items())},
+        **evaluate_tree(pipe, args.data_dir),
     }
-    truth = np.asarray(det_truth, bool)
-    if truth.size and 0 < truth.sum() < truth.size:
-        from synthetic_audio_detection_tpu.utils import metrics as metrics_mod
-
-        s = np.asarray(det_scores, np.float64)
-        eer, thr = metrics_mod.equal_error_rate(s, truth)
-        out["binary_auc"] = round(metrics_mod.roc_auc(s, truth), 6)
-        out["binary_eer"] = round(eer, 6)
-        out["binary_eer_threshold"] = round(thr, 6)
     print(json.dumps(out))
     return 0
 
