@@ -351,6 +351,7 @@ def test_epoch_mean_feeds_scheduler_not_sampled_loss():
     t = Trainer.__new__(Trainer)  # skip heavy init; drive train_epoch directly
     t.cfg = cfg
     t.mesh = None
+    t._transport = "float32"  # __init__ invariant the minimal Trainer needs
     t.rng = jax.random.PRNGKey(0)
     t.writer = types.SimpleNamespace(add_scalar=lambda *a, **k: None)
     t.state = types.SimpleNamespace(step=0, lr_scale=1.0)
