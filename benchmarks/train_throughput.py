@@ -43,6 +43,12 @@ def main() -> None:
                    choices=["", "fft", "gemm", "factored", "pallas"],
                    help="device-mel DFT path(s); several = same-process A/B "
                    "('' = the step's default)")
+    p.add_argument("--joint", type=int, default=0, metavar="N",
+                   help="measure the joint N-head ensemble step "
+                   "(train/joint.py: one shared-backbone fwd/bwd + N vmapped "
+                   "heads) instead of the single-head step; ensemble-training "
+                   "speedup vs sequential = N x (joint rows/s) / "
+                   "(single rows/s)")
     args = p.parse_args()
 
     from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
@@ -58,13 +64,27 @@ def main() -> None:
 
     cfg = TrainConfig(batch_size=args.batch)
     spec = SpectrogramConfig(out_size=args.input_size)
-    model = BinaryClassifier(backbone=args.backbone, dtype=jnp.bfloat16)
-    state, tx = steps.create_train_state(
-        model, jax.random.PRNGKey(0), cfg,
-        input_size=spec.model_input_hw(),
-    )
-    if args.stop_grad == 3:
-        state = steps.unfreeze_layer3(state)
+    if args.joint:
+        from synthetic_audio_detection_tpu.train import joint
+
+        state, tx = joint.init_joint_state(
+            args.backbone, args.joint, jax.random.PRNGKey(0), cfg,
+            spec.model_input_hw(), dtype=jnp.bfloat16,
+        )
+        if args.stop_grad == 3:
+            state = state.replace(
+                param_mask=joint.joint_freeze_mask(state.params, phase2=True)
+            )
+        probe = lambda params: params["heads"]["out"]["bias"][0]  # noqa: E731
+    else:
+        model = BinaryClassifier(backbone=args.backbone, dtype=jnp.bfloat16)
+        state, tx = steps.create_train_state(
+            model, jax.random.PRNGKey(0), cfg,
+            input_size=spec.model_input_hw(),
+        )
+        if args.stop_grad == 3:
+            state = steps.unfreeze_layer3(state)
+        probe = lambda params: params["head"]["out"]["bias"]  # noqa: E731
 
     rng = np.random.default_rng(0)
     batch = {
@@ -78,11 +98,20 @@ def main() -> None:
     }
 
     for dft_mode in args.dft_mode:
-        train_step = steps.make_train_step(
-            model, tx, cfg, spec, SpecAugmentConfig(),
-            stop_grad_stage=args.stop_grad,
-            dft_mode=dft_mode or None,
-        )
+        if args.joint:
+            from synthetic_audio_detection_tpu.train import joint
+
+            train_step = joint.make_joint_train_step(
+                args.backbone, tx, cfg, spec, SpecAugmentConfig(),
+                num_heads=args.joint, stop_grad_stage=args.stop_grad,
+                dft_mode=dft_mode or None, dtype=jnp.bfloat16,
+            )
+        else:
+            train_step = steps.make_train_step(
+                model, tx, cfg, spec, SpecAugmentConfig(),
+                stop_grad_stage=args.stop_grad,
+                dft_mode=dft_mode or None,
+            )
 
         def looped(n):
             def body(i, st):
@@ -91,7 +120,7 @@ def main() -> None:
                 # LICM hoists mel+dB out of the loop and the measurement
                 # silently excludes the front end (caught in round 3;
                 # bench.py has always chained its input for the same reason)
-                eps = (st.params["head"]["out"]["bias"][0] * 1e-30).astype(
+                eps = (probe(st.params).reshape(-1)[0] * 1e-30).astype(
                     jnp.float32)
                 b = dict(batch)
                 b["audio"] = batch["audio"] + eps
@@ -101,7 +130,7 @@ def main() -> None:
 
             def run(s):
                 final = jax.lax.fori_loop(0, n, body, s)
-                return final.params["head"]["out"]["bias"].sum()
+                return probe(final.params).sum()
 
             return jax.jit(run)
 
@@ -121,6 +150,7 @@ def main() -> None:
         hours_per_90m = 90e6 / rows_per_sec / 3600
         print(json.dumps({
             "backbone": args.backbone,
+            "joint_heads": args.joint,
             "stop_grad": args.stop_grad,
             "dft_mode": dft_mode or "default",
             "batch_rows": args.batch,

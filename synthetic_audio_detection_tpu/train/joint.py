@@ -1,0 +1,631 @@
+"""Joint multi-head ensemble training: all N heads in ONE jitted step.
+
+The reference trains ensemble members one CLI invocation at a time, each with
+its own full backbone, and its merger never actually transfers those backbones
+(the strict=False load only matches ``head.*`` keys, model_merger.py:55 —
+SURVEY.md §2.2), so the DEPLOYED reference ensemble is one shared backbone +
+N trained MLP heads. This trainer produces that architecture directly, the
+TPU-native way:
+
+- ONE corpus pass per step: every head sees every batch. Per-head binary
+  labels are derived from the corpus class index (head i's positive class is
+  synthetic class i; everything else — Real AND the other generators — is its
+  negative). This is exactly the hard-negative labeling that fixes ensemble
+  attribution (``TrainConfig.hard_negative_classes``, measured 0.667 → 1.000
+  in docs/PERFORMANCE.md), applied to all heads at once.
+- ONE backbone forward/backward shared by all heads; the N MLP heads run as
+  stacked parameters under ``jax.vmap`` (the same formulation the serving
+  path uses, ensemble/multihead.py). Per-step cost is therefore ~one
+  single-head step — training N heads sequentially pays the backbone N times
+  for the same effective artifact.
+- The loss is the mean of the per-head CrossEntropy losses (multi-task).
+  Adam's per-parameter normalization makes each head's trajectory invariant
+  to that 1/N scale; the backbone sees the average of the head pulls.
+- Freeze schedule, plateau-on-train-loss, NaN skip, grad clip, SpecAugment /
+  RandomResizedCrop, stop-grad boundary, int16 transport, and the Pallas mel
+  auto-gate are all inherited from the single-head step's semantics
+  (train/steps.py; reference behaviors at submodel_trainer.py:241-313,
+  646-660, 687-691).
+
+The saved artifact is a merged ensemble checkpoint (native + reference
+``.pth`` twin with ``sub_models.<i>.*`` keys, model_merger.py:153-159) whose
+heads share one backbone bit-for-bit — so serving auto-detects the
+shared-backbone fast path (ensemble/multihead.py:build_ensemble).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from dataclasses import field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from synthetic_audio_detection_tpu.audio import wavio
+from synthetic_audio_detection_tpu.checkpoints import serialization
+from synthetic_audio_detection_tpu.data import dataset as ds
+from synthetic_audio_detection_tpu.ensemble import multihead
+from synthetic_audio_detection_tpu.models.head import BinaryHead
+from synthetic_audio_detection_tpu.models.resnet import create_resnet
+from synthetic_audio_detection_tpu.parallel import sharding as sh
+from synthetic_audio_detection_tpu.train import steps
+from synthetic_audio_detection_tpu.train.plateau import PlateauState
+from synthetic_audio_detection_tpu.utils import metrics as metrics_mod
+from synthetic_audio_detection_tpu.utils.config import (
+    SpecAugmentConfig,
+    SpectrogramConfig,
+    TrainConfig,
+)
+from synthetic_audio_detection_tpu.utils.tb_writer import SummaryWriter
+
+log = logging.getLogger(__name__)
+
+
+class JointTrainState(struct.PyTreeNode):
+    """params/batch_stats trees are {'base': <backbone>, 'heads': <stacked>}
+    where every 'heads' leaf has a leading num_heads axis."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    param_mask: Any  # 0/1 per leaf (1 = trainable)
+    lr_scale: jnp.ndarray
+
+
+def joint_freeze_mask(params: Any, phase2: bool) -> Any:
+    """Backbone follows the reference freeze schedule (layer4, then +layer3
+    at epochs//3 — submodel_trainer.py:609-633,687-691); heads are always
+    trainable."""
+    prefixes = steps.PHASE2_PREFIXES if phase2 else steps.PHASE1_PREFIXES
+    base_mask = steps.freeze_mask(params["base"], prefixes)
+    heads_mask = jax.tree_util.tree_map(
+        lambda _: jnp.asarray(1.0, jnp.float32), params["heads"]
+    )
+    return {"base": base_mask, "heads": heads_mask}
+
+
+def init_joint_state(
+    model_name: str,
+    num_heads: int,
+    rng: jax.Array,
+    cfg: TrainConfig,
+    input_hw: Tuple[int, int],
+    dtype: Any = jnp.float32,
+) -> Tuple[JointTrainState, optax.GradientTransformation]:
+    """Backbone initialized once; each head initialized with its own RNG so
+    the stacked heads start independent (like N separate trainer runs)."""
+    base_rng, *head_rngs = jax.random.split(rng, num_heads + 1)
+    base = create_resnet(model_name, 3, dtype, module_name="base")
+    dummy = jnp.zeros((2, *input_hw, 3), jnp.float32)
+    base_vars = base.init({"params": base_rng}, dummy, train=False)
+    feats = base.apply(base_vars, dummy, train=False)
+    head = BinaryHead(dtype=dtype)
+    head_vars = [head.init({"params": r}, feats, train=False) for r in head_rngs]
+    stacked = multihead.stack_variables(head_vars)
+    params = {"base": base_vars["params"], "heads": stacked["params"]}
+    batch_stats = {
+        "base": base_vars.get("batch_stats", {}),
+        "heads": stacked.get("batch_stats", {}),
+    }
+    tx = steps.make_optimizer(cfg)
+    state = JointTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        param_mask=joint_freeze_mask(params, phase2=False),
+        lr_scale=jnp.ones((), jnp.float32),
+    )
+    return state, tx
+
+
+def per_head_binary_labels(labels: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Corpus label c ∈ {0=Real, 1..N=synthetic class i} → [N, B] binary
+    targets: head i's positive (=1=SYNTHETIC_INDEX) iff c == i+1; Real and
+    every OTHER generator are its negatives (the hard-negative contract,
+    data/dataset.py:list_samples)."""
+    heads = jnp.arange(1, num_heads + 1, dtype=labels.dtype)[:, None]
+    return (labels[None, :] == heads).astype(jnp.int32)
+
+
+def _head_forward_train(
+    head: BinaryHead,
+    head_params: Any,
+    head_stats: Any,
+    feats: jnp.ndarray,
+    drop_rngs: jax.Array,
+) -> Tuple[jnp.ndarray, Any]:
+    """Vmapped over the stacked head axis → ([N, B, 2] logits, new stats)."""
+
+    def one(hp, hs, r):
+        out, mutated = head.apply(
+            {"params": hp, "batch_stats": hs},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": r},
+        )
+        return out, mutated["batch_stats"]
+
+    return jax.vmap(one)(head_params, head_stats, drop_rngs)
+
+
+def make_joint_train_step(
+    model_name: str,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    spec_cfg: SpectrogramConfig,
+    augment: Optional[SpecAugmentConfig],
+    num_heads: int,
+    sample_rate: int = 32_000,
+    stop_grad_stage: int = 0,
+    dft_mode: Optional[str] = None,
+    dtype: Any = jnp.float32,
+) -> Callable:
+    """joint_step(state, batch, rng) -> (state, metrics).
+
+    batch: {'audio': [B, T] (or int16 PCM transport), 'label': [B] int32 in
+    0..N, optional 'weight': [B] 0/1 pad mask}. One XLA program: device mel →
+    shared backbone fwd → vmapped heads fwd → mean-CE bwd → masked AdamW →
+    NaN skip (the same one-program contract as train/steps.py)."""
+
+    head = BinaryHead(dtype=dtype)
+
+    def joint_step(state: JointTrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng_mask, rng_drop = jax.random.split(rng)
+        x = steps._features_from_waveforms(
+            batch["audio"], spec_cfg, augment, rng_mask, sample_rate,
+            dft_mode=dft_mode,
+        )
+        labels = batch["label"]
+        weights = batch.get("weight")
+        y_nb = per_head_binary_labels(labels, num_heads)  # [N, B]
+        drop_rngs = jax.random.split(rng_drop, num_heads)
+
+        def loss_fn(params):
+            base = create_resnet(model_name, 3, dtype, module_name="base",
+                                 stop_grad_stage=stop_grad_stage)
+            feats, mutated = base.apply(
+                {"params": params["base"],
+                 "batch_stats": state.batch_stats["base"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            logits_nb, new_head_stats = _head_forward_train(
+                head, params["heads"], state.batch_stats["heads"], feats,
+                drop_rngs,
+            )
+            per_head = jax.vmap(steps.cross_entropy, in_axes=(0, 0, None))(
+                logits_nb, y_nb, weights
+            )  # [N]
+            loss = per_head.mean()
+            new_stats = {"base": mutated["batch_stats"], "heads": new_head_stats}
+            return loss, (logits_nb, per_head, new_stats)
+
+        (loss, (logits_nb, per_head_loss, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        mask = state.param_mask
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        opt_state = state.opt_state
+        opt_state.hyperparams["lr"] = cfg.lr * state.lr_scale
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
+        new_params = optax.apply_updates(state.params, updates)
+
+        ok = jnp.isfinite(loss)
+
+        def commit(_):
+            return dataclasses.replace(
+                state, step=state.step + 1, params=new_params,
+                batch_stats=new_stats, opt_state=new_opt_state,
+            )
+
+        def skip(_):
+            return dataclasses.replace(state, step=state.step + 1)
+
+        new_state = jax.lax.cond(ok, commit, skip, None)
+        correct = (jnp.argmax(logits_nb, -1) == y_nb).astype(jnp.float32)  # [N, B]
+        if weights is not None:
+            w = weights.astype(jnp.float32)
+            acc = (correct * w[None, :]).sum(1) / jnp.maximum(w.sum(), 1.0)
+        else:
+            acc = correct.mean(1)
+        metrics = {
+            "loss": loss,
+            "per_head_loss": per_head_loss,
+            "per_head_accuracy": acc,
+            "accuracy": acc.mean(),
+            "skipped": (~ok).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    return joint_step
+
+
+def make_joint_eval_step(
+    model_name: str,
+    spec_cfg: SpectrogramConfig,
+    num_heads: int,
+    sample_rate: int = 32_000,
+    dft_mode: Optional[str] = None,
+    dtype: Any = jnp.float32,
+) -> Callable:
+    """eval_step(state_vars, batch) → per-head sufficient statistics AND the
+    ensemble verdict in one program: per-head [N,2,2] confusion, per-head
+    sigmoid scores (for AUC/EER), and the aggregated [B, N+1] decision's
+    attribution correctness (ensemble/multihead.py:_aggregate + decide — the
+    quantity tools/accuracy_study.py measures offline)."""
+
+    head = BinaryHead(dtype=dtype)
+
+    def eval_step(variables, batch):
+        audio = batch["audio"]
+        if jnp.issubdtype(audio.dtype, jnp.integer):
+            audio = audio.astype(jnp.float32) / 32768.0
+        x = steps._features_from_waveforms(
+            audio, spec_cfg, None, None, sample_rate, dft_mode=dft_mode,
+        )
+        labels = batch["label"]
+        weights = batch.get("weight")
+        w = (weights if weights is not None
+             else jnp.ones_like(labels)).astype(jnp.float32)
+        base = create_resnet(model_name, 3, dtype, module_name="base")
+        feats = base.apply(
+            {"params": variables["params"]["base"],
+             "batch_stats": variables["batch_stats"]["base"]},
+            x, train=False,
+        )
+
+        def one(hp, hs):
+            return head.apply(
+                {"params": hp, "batch_stats": hs}, feats, train=False
+            )
+
+        logits_nb = jax.vmap(one)(
+            variables["params"]["heads"], variables["batch_stats"]["heads"]
+        )  # [N, B, 2]
+        y_nb = per_head_binary_labels(labels, num_heads)
+        logp = jax.nn.log_softmax(logits_nb.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, y_nb[..., None], -1)[..., 0]  # [N, B]
+        loss_sum = (nll * w[None, :]).sum(1)  # [N]
+        pred = jnp.argmax(logits_nb, -1)  # [N, B]
+        conf = jnp.zeros((num_heads, 2, 2), jnp.float32)
+        head_idx = jnp.broadcast_to(
+            jnp.arange(num_heads)[:, None], y_nb.shape
+        )
+        conf = conf.at[head_idx, y_nb, pred].add(w[None, :])
+
+        # ensemble verdict (aggregation + sigmoid-unanimity rule)
+        agg = multihead._aggregate(logits_nb)  # [B, N+1]
+        verdict = multihead.decide(agg)
+        # corpus label 0 (Real) ↔ ensemble index N; class i ↔ index i-1
+        true_idx = jnp.where(labels == 0, num_heads, labels - 1)
+        ens_correct = ((verdict["label_idx"] == true_idx).astype(jnp.float32) * w).sum()
+        # any-synthetic detector score = 1 - sigmoid(real_mean)
+        det_score = 1.0 - jax.nn.sigmoid(agg[:, -1].astype(jnp.float32))
+        return {
+            "loss_sum": loss_sum,
+            "confusion": conf,
+            "count": w.sum(),
+            "ens_correct": ens_correct,
+            "det_score": det_score,
+            "probs": jnp.exp(logp),
+        }
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class JointEpochResult:
+    train_loss: float = 0.0
+    val_loss: float = 0.0
+    per_head_acc: List[float] = field(default_factory=list)
+    ensemble_acc: float = 0.0
+    val_auc: Optional[float] = None
+    val_eer: Optional[float] = None
+    confusion: Optional[np.ndarray] = None  # [N, 2, 2]
+
+
+class JointTrainer:
+    """Ensemble-in-one-pass trainer. class layout: real_class is corpus label
+    0; synthetic_classes[i] is corpus label i+1 and head i's positive."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        synthetic_classes: List[str],
+        real_class: str = "Real",
+        model_name: str = "resnet18",
+        spec_cfg: Optional[SpectrogramConfig] = None,
+        augment: Optional[SpecAugmentConfig] = None,
+        log_dir: Optional[str] = None,
+        use_mesh: bool = True,
+    ):
+        if not synthetic_classes:
+            raise ValueError("need at least one synthetic class")
+        self.cfg = cfg
+        self.spec_cfg = spec_cfg or SpectrogramConfig.train()
+        self.augment = augment or SpecAugmentConfig()
+        self.real_class = real_class
+        self.synthetic_classes = list(synthetic_classes)
+        self.corpus_classes = [real_class] + self.synthetic_classes
+        # merged-checkpoint metadata contract: [syn_1..syn_N, real]
+        # (model_merger.py:153-159)
+        self.class_names = self.synthetic_classes + [real_class]
+        self.num_heads = len(self.synthetic_classes)
+        self.model_name = model_name
+        self.dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                      else jnp.float32)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state, self.tx = init_joint_state(
+            model_name, self.num_heads, init_rng, cfg,
+            self.spec_cfg.model_input_hw(), dtype=self.dtype,
+        )
+        self.plateau = PlateauState(cfg.plateau_factor, cfg.plateau_patience)
+        self.best_acc = 0.0
+        self.start_epoch = 0
+        self.layer3_unfrozen = False
+        self._transport = cfg.transport_dtype or (
+            "int16"
+            if cfg.compute_dtype == "bfloat16"
+            and jax.default_backend() in ("tpu", "axon")
+            else "float32"
+        )
+        self.mesh = sh.create_mesh() if use_mesh and jax.device_count() > 1 else None
+        self._train_step = self._build_train_step()
+        self._eval_step = jax.jit(make_joint_eval_step(
+            model_name, self.spec_cfg, self.num_heads, dtype=self.dtype,
+            dft_mode=self._dft_mode(),
+        ))
+        self.writer = SummaryWriter(
+            log_dir or os.path.join("runs", f"joint_{int(time.time())}")
+        )
+        if cfg.resume:
+            self.resume(cfg.resume)
+
+    def _dft_mode(self) -> Optional[str]:
+        dft = self.cfg.mel_dft or None
+        if (dft is None and self.cfg.compute_dtype == "bfloat16"
+                and jax.default_backend() in ("tpu", "axon")):
+            dft = "pallas"  # same auto-gate as Trainer._build_train_step
+        return dft
+
+    def _build_train_step(self):
+        stage = 0
+        if self.cfg.stop_grad_boundary:
+            stage = 3 if self.layer3_unfrozen else 4
+        return jax.jit(
+            make_joint_train_step(
+                self.model_name, self.tx, self.cfg, self.spec_cfg,
+                self.augment, self.num_heads,
+                stop_grad_stage=stage, dft_mode=self._dft_mode(),
+                dtype=self.dtype,
+            ),
+            donate_argnums=(0,),
+        )
+
+    # -- checkpointing ------------------------------------------------------
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    def to_ensemble(self) -> multihead.MultiHeadEnsemble:
+        """Current state → serving-ready shared-backbone ensemble (the
+        per-head dicts reference the SAME base arrays, so the shared-backbone
+        detection is exact)."""
+        v = jax.tree_util.tree_map(np.asarray, self.variables())
+        per_head = []
+        for i in range(self.num_heads):
+            per_head.append({
+                "params": {
+                    "base": v["params"]["base"],
+                    "head": jax.tree_util.tree_map(
+                        lambda a, i=i: a[i], v["params"]["heads"]
+                    ),
+                },
+                "batch_stats": {
+                    "base": v["batch_stats"]["base"],
+                    "head": jax.tree_util.tree_map(
+                        lambda a, i=i: a[i], v["batch_stats"]["heads"]
+                    ),
+                },
+            })
+        from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+
+        model = BinaryClassifier(backbone=self.model_name, dtype=self.dtype)
+        return multihead.build_ensemble(model, per_head, self.class_names)
+
+    def save_checkpoint(self, epoch: int, path: str) -> None:
+        """Native resume checkpoint + merged serving artifacts: `<path>` is
+        the trainer state; `<path>.merged.ckpt` / `<path>.merged.pth` are the
+        ensemble in our native and the reference merged-model formats."""
+        payload = {
+            "variables": jax.tree_util.tree_map(np.asarray, self.variables()),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.state.opt_state),
+        }
+        meta = {
+            "epoch": epoch,
+            "best_acc": float(self.best_acc),
+            "total_steps": int(self.state.step),
+            "layer3_unfrozen": self.layer3_unfrozen,
+            "scheduler": self.plateau.state_dict(),
+            "model_name": self.model_name,
+            "class_names": self.class_names,
+            "num_heads": self.num_heads,
+            "format": "sad-tpu-joint-v1",
+        }
+        serialization.save_native(path, payload, metadata=meta)
+        ens = self.to_ensemble()
+        serialization.save_merged_native(path + ".merged.ckpt", ens)
+        serialization.save_merged_torch(path + ".merged.pth", ens)
+
+    def resume(self, path: str) -> None:
+        from flax import serialization as flax_ser
+
+        tree, meta = serialization.load_native(path)
+        if meta.get("format") != "sad-tpu-joint-v1":
+            raise ValueError(f"{path}: not a joint-trainer checkpoint")
+        self.state = self.state.replace(
+            params=tree["variables"]["params"],
+            batch_stats=tree["variables"]["batch_stats"],
+            opt_state=flax_ser.from_state_dict(
+                self.state.opt_state, tree["opt_state"]
+            ),
+            step=jnp.asarray(meta.get("total_steps", 0), jnp.int32),
+        )
+        self.plateau = PlateauState.from_state_dict(meta["scheduler"])
+        self.state = self.state.replace(
+            lr_scale=jnp.asarray(self.plateau.scale, jnp.float32)
+        )
+        self.best_acc = float(meta.get("best_acc", 0.0))
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        if meta.get("layer3_unfrozen"):
+            self.state = self.state.replace(
+                param_mask=joint_freeze_mask(self.state.params, phase2=True)
+            )
+            self.layer3_unfrozen = True
+            self._train_step = self._build_train_step()
+        log.info("resumed joint trainer at epoch %d", self.start_epoch)
+
+    # -- epochs -------------------------------------------------------------
+
+    def _batches(self, batcher: ds.WaveformBatcher, epoch: int, target_rows: int):
+        for batch in batcher.epoch(epoch):
+            if "weight" in batch:
+                padded = batch
+            else:
+                padded, n = ds.pad_batch(batch, target_rows)
+                padded["weight"] = (
+                    np.arange(target_rows) < n
+                ).astype(np.float32)
+            if (self._transport == "int16"
+                    and padded["audio"].dtype != np.int16):
+                padded = dict(padded, audio=wavio.pcm16_quantize(padded["audio"]))
+            if self.mesh is not None:
+                padded = sh.shard_batch(self.mesh, padded)
+            yield padded
+
+    def train_epoch(self, batcher, epoch: int) -> Dict[str, float]:
+        target_rows = 2 * batcher.batch_size
+        loss_sum = jnp.float32(0.0)
+        acc_sum = jnp.float32(0.0)
+        n_good = jnp.float32(0.0)
+        t0 = time.time()
+        for i, batch in enumerate(self._batches(batcher, epoch, target_rows)):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, m = self._train_step(self.state, batch, step_rng)
+            good = jnp.isfinite(m["loss"]).astype(jnp.float32)
+            loss_sum = loss_sum + jnp.where(good > 0, m["loss"], 0.0)
+            acc_sum = acc_sum + good * m["accuracy"]
+            n_good = n_good + good
+            if (i + 1) % self.cfg.log_every_steps == 0:
+                step = int(self.state.step)
+                self.writer.add_scalar("train/loss", float(m["loss"]), step)
+                self.writer.add_scalar("train/accuracy", float(m["accuracy"]), step)
+                ph = np.asarray(m["per_head_loss"])
+                for h, name in enumerate(self.synthetic_classes):
+                    self.writer.add_scalar(f"train/loss_{name}", float(ph[h]), step)
+                log.info(
+                    "epoch %d step %d loss %.4f acc %.4f (%.1f rows/s)",
+                    epoch, step, float(m["loss"]), float(m["accuracy"]),
+                    (i + 1) * target_rows / (time.time() - t0),
+                )
+        denom = max(float(n_good), 1.0)
+        return {"loss": float(loss_sum) / denom,
+                "accuracy": float(acc_sum) / denom}
+
+    def validate(self, batcher, epoch: int) -> JointEpochResult:
+        target_rows = 2 * batcher.batch_size
+        loss_sum = np.zeros(self.num_heads)
+        confusion = np.zeros((self.num_heads, 2, 2))
+        count = 0.0
+        ens_correct = 0.0
+        variables = self.variables()
+        scores, is_syn = [], []
+        for batch in self._batches(batcher, epoch, target_rows):
+            stats = self._eval_step(variables, batch)
+            loss_sum += np.asarray(stats["loss_sum"], np.float64)
+            confusion += np.asarray(stats["confusion"], np.float64)
+            count += float(stats["count"])
+            ens_correct += float(stats["ens_correct"])
+            valid = np.asarray(batch["weight"]) > 0
+            scores.append(np.asarray(stats["det_score"], np.float32)[valid])
+            is_syn.append(np.asarray(batch["label"])[valid] != 0)
+        res = JointEpochResult()
+        res.val_loss = float(loss_sum.mean() / max(count, 1.0))
+        res.per_head_acc = [
+            float(np.trace(confusion[h]) / max(count, 1.0))
+            for h in range(self.num_heads)
+        ]
+        res.ensemble_acc = ens_correct / max(count, 1.0)
+        res.confusion = confusion
+        if scores:
+            s, y = np.concatenate(scores), np.concatenate(is_syn)
+            if 0 < y.sum() < y.size:
+                res.val_auc = metrics_mod.roc_auc(s, y)
+                res.val_eer = metrics_mod.equal_error_rate(s, y)[0]
+        return res
+
+    def fit(self, data_dir: Optional[str] = None) -> float:
+        cfg = self.cfg
+        data_dir = data_dir or cfg.data_dir
+        train_samples = ds.list_samples(data_dir, "train", self.corpus_classes)
+        val_samples = ds.list_samples(data_dir, "test", self.corpus_classes)
+        make = ds.WaveformBatcher
+        train_batcher = make(train_samples, cfg.batch_size, shuffle=True,
+                             workers=cfg.workers, seed=cfg.seed)
+        val_batcher = make(val_samples, cfg.batch_size, shuffle=False,
+                           workers=cfg.workers)
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        unfreeze_epoch = int(cfg.epochs * cfg.unfreeze_layer3_at_fraction)
+
+        for epoch in range(self.start_epoch, cfg.epochs):
+            if (epoch >= unfreeze_epoch and not self.layer3_unfrozen
+                    and not cfg.reference_quirk_frozen_layer3):
+                self.state = self.state.replace(
+                    param_mask=joint_freeze_mask(self.state.params, phase2=True)
+                )
+                self.layer3_unfrozen = True
+                self._train_step = self._build_train_step()
+                log.info("epoch %d: unfroze layer3 (epochs//3 schedule)", epoch)
+
+            tr = self.train_epoch(train_batcher, epoch)
+            scale = self.plateau.update(tr["loss"])
+            self.state = self.state.replace(
+                lr_scale=jnp.asarray(scale, jnp.float32)
+            )
+            res = self.validate(val_batcher, epoch)
+            self.writer.add_scalar("epoch/train_loss", tr["loss"], epoch)
+            self.writer.add_scalar("epoch/val_loss", res.val_loss, epoch)
+            self.writer.add_scalar("epoch/ensemble_acc", res.ensemble_acc, epoch)
+            if res.val_auc is not None:
+                self.writer.add_scalar("epoch/val_auc", res.val_auc, epoch)
+                self.writer.add_scalar("epoch/val_eer", res.val_eer, epoch)
+            log.info(
+                "epoch %d: train loss %.4f | val loss %.4f | ensemble acc %.4f"
+                " | per-head %s | lr scale %.4f",
+                epoch, tr["loss"], res.val_loss, res.ensemble_acc,
+                ["%.3f" % a for a in res.per_head_acc], scale,
+            )
+            if res.val_auc is not None:
+                log.info("epoch %d: detector AUC %.4f EER %.4f",
+                         epoch, res.val_auc, res.val_eer)
+
+            if res.ensemble_acc > self.best_acc:
+                self.best_acc = res.ensemble_acc
+                path = os.path.join(cfg.checkpoint_dir, "joint_model.ckpt")
+                self.save_checkpoint(epoch, path)
+                log.info("saved best joint checkpoint (ensemble acc %.4f) -> %s",
+                         self.best_acc, path)
+        return self.best_acc

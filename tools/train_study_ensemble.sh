@@ -13,6 +13,11 @@
 #   segments into each head's Class0 (--hard-negative-classes), turning the
 #   head from "synthetic?" into "THIS generator?" (docs/PERFORMANCE.md,
 #   attribution hard-negatives study).
+#   JOINT=1 trains ALL heads in one pass with the joint ensemble trainer
+#   (train/joint.py: shared backbone fwd/bwd + vmapped heads, hard negatives
+#   built in — ~N heads for the cost of one) instead of the sequential
+#   per-head loop; the merge step is skipped (the joint trainer emits the
+#   merged artifact directly).
 # Output under <corpus-root>/ensemble/: heads/<cls>/best_model.ckpt,
 #   recipe.csv, merged.pth, study.json
 set -euo pipefail
@@ -24,6 +29,7 @@ HARD_NEG=${HARD_NEG:-0}
 SEED=${SEED:-42}
 BF16=${BF16:-1}
 WORKERS=${WORKERS:-8}
+JOINT=${JOINT:-0}
 cd "$(dirname "$0")/.."
 
 classes=$(ls "$D/dataset/train" | grep -v '^Real$')
@@ -31,6 +37,25 @@ E="$D/ensemble"
 mkdir -p "$E/heads"
 bf16_flag=""
 [ "$BF16" = "1" ] && bf16_flag="--bf16"
+
+if [ "$JOINT" = "1" ]; then
+  echo "=== joint ensemble training: $classes (epochs=$EPOCHS input=$INPUT_SIZE batch=$BATCH)"
+  # shellcheck disable=SC2086
+  python -m synthetic_audio_detection_tpu.cli.ensemble_trainer \
+    --data-dir "$D/dataset" --real-class Real \
+    --synthetic-classes $classes \
+    --epochs "$EPOCHS" --batch-size "$BATCH" --input-size "$INPUT_SIZE" \
+    $bf16_flag --workers "$WORKERS" --seed "$SEED" \
+    --checkpoint-dir "$E/joint" --log-dir "$E/runs/joint"
+  cp "$E/joint/joint_model.ckpt.merged.pth" "$E/merged.pth"
+  echo "=== held-out study"
+  # shellcheck disable=SC2086
+  python tools/accuracy_study.py --merged-model "$E/merged.pth" \
+    --data-dir "$D/dataset/test" --input-size "$INPUT_SIZE" $bf16_flag \
+    | tee "$E/study.json"
+  echo "=== done: $E"
+  exit 0
+fi
 
 echo "=== heads: $classes (epochs=$EPOCHS input=$INPUT_SIZE batch=$BATCH hard_neg=$HARD_NEG)"
 : > "$E/recipe.csv"
