@@ -58,7 +58,7 @@ def test_two_process_distributed_collective():
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=180)
+            out, err = p.communicate(timeout=900)
             outs.append((p.returncode, out, err))
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -158,7 +158,7 @@ def test_two_process_data_parallel_train_step():
     losses = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=1800)
             assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-3000:]}"
             line = [l for l in out.splitlines() if l.startswith("DP_TRAIN_LOSS")]
             assert line, out
@@ -266,7 +266,7 @@ def test_two_process_four_device_two_axis_mesh():
     losses = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=600)
+            out, err = p.communicate(timeout=2400)
             assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-3000:]}"
             line = [l for l in out.splitlines()
                     if l.startswith("TWO_AXIS_LOSS")]

@@ -319,7 +319,7 @@ def test_joint_step_sharded_heads_matches_unsharded():
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, "-c", _SHARDED_SELFTEST], env=env,
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=2400,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "SHARDED_JOINT_OK" in out.stdout
