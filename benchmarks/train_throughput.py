@@ -49,6 +49,10 @@ def main() -> None:
                    "heads) instead of the single-head step; ensemble-training "
                    "speedup vs sequential = N x (joint rows/s) / "
                    "(single rows/s)")
+    p.add_argument("--per-head-stages", type=int, default=0,
+                   help="with --joint: trailing ResNet stages trained PER "
+                   "HEAD on the shared trunk (train/joint.py; 1 = per-head "
+                   "layer4)")
     args = p.parse_args()
 
     from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
@@ -70,12 +74,16 @@ def main() -> None:
         state, tx = joint.init_joint_state(
             args.backbone, args.joint, jax.random.PRNGKey(0), cfg,
             spec.model_input_hw(), dtype=jnp.bfloat16,
+            per_head_stages=args.per_head_stages,
         )
         if args.stop_grad == 3:
             state = state.replace(
                 param_mask=joint.joint_freeze_mask(state.params, phase2=True)
             )
-        probe = lambda params: params["heads"]["out"]["bias"][0]  # noqa: E731
+        if args.per_head_stages:
+            probe = lambda params: params["heads"]["mlp"]["out"]["bias"][0]  # noqa: E731
+        else:
+            probe = lambda params: params["heads"]["out"]["bias"][0]  # noqa: E731
     else:
         model = BinaryClassifier(backbone=args.backbone, dtype=jnp.bfloat16)
         state, tx = steps.create_train_state(
@@ -105,6 +113,7 @@ def main() -> None:
                 args.backbone, tx, cfg, spec, SpecAugmentConfig(),
                 num_heads=args.joint, stop_grad_stage=args.stop_grad,
                 dft_mode=dft_mode or None, dtype=jnp.bfloat16,
+                per_head_stages=args.per_head_stages,
             )
         else:
             train_step = steps.make_train_step(
@@ -151,6 +160,7 @@ def main() -> None:
         print(json.dumps({
             "backbone": args.backbone,
             "joint_heads": args.joint,
+            "per_head_stages": args.per_head_stages,
             "stop_grad": args.stop_grad,
             "dft_mode": dft_mode or "default",
             "batch_rows": args.batch,

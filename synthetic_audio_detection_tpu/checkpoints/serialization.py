@@ -17,6 +17,7 @@ Two persistence layers:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -70,6 +71,7 @@ def save_merged_native(path: str, ensemble: MultiHeadEnsemble) -> None:
             "class_names": ensemble.class_names,
             "backbone": ensemble.model.backbone,
             "shared_backbone": ensemble.shared_backbone,
+            "shared_trunk_stages": ensemble.shared_trunk_stages,
             "format": "sad-tpu-merged-v1",
         },
     )
@@ -80,12 +82,18 @@ def load_merged_native(path: str) -> MultiHeadEnsemble:
     model = BinaryClassifier(backbone=meta.get("backbone", "resnet18"))
     tree = jax.tree_util.tree_map(np.asarray, tree)
     num_heads = len(meta["class_names"]) - 1
-    return build_ensemble(
+    ens = build_ensemble(
         model,
         unstack_variables(tree, num_heads),
         meta["class_names"],
         detect_shared_backbone=bool(meta.get("shared_backbone", False)),
     )
+    # trunk sharing is recorded at save time (per_head_stages joint-trainer
+    # artifacts) so the load skips the O(N·params) re-detection scan
+    trunk_k = int(meta.get("shared_trunk_stages", 0))
+    if trunk_k and not ens.shared_backbone:
+        ens = dataclasses.replace(ens, shared_trunk_stages=trunk_k)
+    return ens
 
 
 def save_merged_torch(path: str, ensemble: MultiHeadEnsemble) -> None:

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("", "float32", "int16"))
     p.add_argument("--stop-grad-boundary", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--per-head-stages", default=0, type=int,
+                   help="Trailing ResNet stages trained PER HEAD on top of "
+                   "the shared trunk (0 = fully shared backbone; 1 = each "
+                   "head owns its layer4 — the same specialization capacity "
+                   "as a sequential per-head run under the freeze schedule)")
     return p
 
 
@@ -105,6 +110,7 @@ def main(argv=None) -> int:
         model_name=args.model_name,
         spec_cfg=spec_cfg,
         log_dir=args.log_dir or None,
+        per_head_stages=args.per_head_stages,
     )
     best = trainer.fit()
     print(f"Best ensemble validation accuracy: {best:.4f}")

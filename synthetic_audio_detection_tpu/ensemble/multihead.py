@@ -54,6 +54,12 @@ class MultiHeadEnsemble:
     class_names: List[str]
     shared_backbone: bool = False
     head_mode: str = "vmap"
+    # Trunk sharing: sub-models agree on every backbone stage EXCEPT the
+    # trailing K (the joint trainer's per_head_stages=K artifacts,
+    # train/joint.py). The shared trunk then runs once and only the per-head
+    # tails + MLP heads are vmapped — N×-cheaper trunk without requiring
+    # fully identical backbones. 0 = no trunk sharing detected.
+    shared_trunk_stages: int = 0
 
     @property
     def num_heads(self) -> int:
@@ -105,6 +111,61 @@ def backbones_identical(variable_dicts: List[Any], atol: float = 0.0) -> bool:
     return True
 
 
+def trunk_shared_stages(variable_dicts: List[Any], atol: float = 0.0) -> int:
+    """Largest K such that every backbone leaf OUTSIDE the trailing K stages
+    is bit-identical across sub-models (0 when even the stem/early stages
+    differ, i.e. no trunk sharing). Stage count comes from the top-level
+    `layer{k}_*` module names of the base subtree."""
+    if len(variable_dicts) <= 1:
+        return 0
+    top_keys = set(variable_dicts[0]["params"]["base"].keys())
+    n_stages = max(
+        (int(k[len("layer"):].split("_")[0])
+         for k in top_keys if k.startswith("layer")),
+        default=0,
+    )
+    if n_stages < 2:
+        return 0
+
+    def subtree_equal(selector):
+        def pick(v):
+            return {
+                "params": {k: x for k, x in v["params"]["base"].items()
+                           if selector(k)},
+                "batch_stats": {
+                    k: x
+                    for k, x in v.get("batch_stats", {}).get("base", {}).items()
+                    if selector(k)
+                },
+            }
+
+        flat0 = jax.tree_util.tree_leaves(pick(variable_dicts[0]))
+        for v in variable_dicts[1:]:
+            flat = jax.tree_util.tree_leaves(pick(v))
+            if len(flat) != len(flat0):
+                return False
+            for a, b in zip(flat0, flat):
+                if a.shape != b.shape or not np.allclose(
+                    np.asarray(a), np.asarray(b), atol=atol
+                ):
+                    return False
+        return True
+
+    # try the smallest per-head suffix first (K=1: only the last stage
+    # differs), growing until the remaining trunk matches
+    for k in range(1, n_stages):
+        trunk_stages = {f"layer{s}" for s in range(1, n_stages - k + 1)}
+
+        def in_trunk(key, trunk_stages=trunk_stages):
+            if not key.startswith("layer"):
+                return True  # stem: conv1/bn1
+            return key.split("_")[0] in trunk_stages
+
+        if subtree_equal(in_trunk):
+            return k
+    return 0
+
+
 def build_ensemble(
     model: BinaryClassifier,
     variable_dicts: List[Any],
@@ -112,11 +173,15 @@ def build_ensemble(
     detect_shared_backbone: bool = True,
 ) -> MultiHeadEnsemble:
     shared = detect_shared_backbone and backbones_identical(variable_dicts)
+    trunk_k = 0
+    if not shared and detect_shared_backbone:
+        trunk_k = trunk_shared_stages(variable_dicts)
     return MultiHeadEnsemble(
         model=model,
         variables=stack_variables(variable_dicts),
         class_names=list(class_names),
         shared_backbone=shared,
+        shared_trunk_stages=trunk_k,
     )
 
 
@@ -201,6 +266,66 @@ def ensemble_per_head_logits(ens: MultiHeadEnsemble, x: jnp.ndarray) -> jnp.ndar
             )
 
         logits_nh = jax.vmap(head_fwd, in_axes=(0, None))(head_vars, feats)  # [N, B, 2]
+    elif ens.shared_trunk_stages:
+        # shared trunk once + vmapped per-head trailing stages + MLP heads
+        # (per_head_stages joint-trainer artifacts, train/joint.py)
+        from synthetic_audio_detection_tpu.models.resnet import (
+            RESNET_SPECS,
+            create_resnet,
+        )
+
+        n_stages = len(RESNET_SPECS[ens.model.backbone][1])
+        t_last = n_stages - ens.shared_trunk_stages
+
+        def is_tail_key(k: str) -> bool:
+            return (k.startswith("layer")
+                    and int(k[len("layer"):].split("_")[0]) > t_last)
+
+        def split(tree, want_tail):
+            return {k: v for k, v in tree.items() if is_tail_key(k) is want_tail}
+
+        trunk_vars = {
+            "params": jax.tree_util.tree_map(
+                lambda a: a[0], split(ens.variables["params"]["base"], False)
+            ),
+            "batch_stats": jax.tree_util.tree_map(
+                lambda a: a[0],
+                split(ens.variables["batch_stats"]["base"], False),
+            ),
+        }
+        trunk = create_resnet(
+            ens.model.backbone, ens.model.in_channels, ens.model.dtype,
+            s2d_stage1=getattr(ens.model, "s2d_stage1", False),
+            last_stage=t_last,
+        )
+        feats = trunk.apply(trunk_vars, x, train=False)
+        tail = create_resnet(
+            ens.model.backbone, ens.model.in_channels, ens.model.dtype,
+            first_stage=t_last + 1,
+        )
+        head = BinaryHead(dtype=ens.model.dtype)
+        tail_vars = {
+            "params": split(ens.variables["params"]["base"], True),
+            "batch_stats": split(ens.variables["batch_stats"]["base"], True),
+        }
+        head_vars = {
+            "params": ens.variables["params"]["head"],
+            "batch_stats": ens.variables["batch_stats"]["head"],
+        }
+
+        def tail_head_fwd(tv, hv, f):
+            y = tail.apply(
+                {"params": tv["params"], "batch_stats": tv["batch_stats"]},
+                f, train=False,
+            )
+            return head.apply(
+                {"params": hv["params"], "batch_stats": hv["batch_stats"]},
+                y, train=False,
+            )
+
+        logits_nh = jax.vmap(tail_head_fwd, in_axes=(0, 0, None))(
+            tail_vars, head_vars, feats
+        )  # [N, B, 2]
     else:
         def sub_fwd(v, xx):
             return ens.model.apply(v, xx, train=False)

@@ -194,25 +194,46 @@ class ResNet(nn.Module):
     # and MORE robust (a non-finite frozen-layer grad can no longer poison
     # the global-norm clip through g*0=NaN).
     stop_grad_stage: int = 0
+    # Stage slicing: run only stages [first_stage, last_stage] (1-based,
+    # inclusive). The stem (conv1/bn1/maxpool) runs only when first_stage
+    # is 1; last_stage None means "through the final stage". A sliced model
+    # keeps the SAME parameter names as the corresponding subtree of the
+    # full model (layer{k}_{b}.*), so a trunk (1..3) and a tail (4..4)
+    # assemble into exactly the full backbone's checkpoint key space. Used
+    # by the joint trainer's per-head-tail mode (train/joint.py).
+    first_stage: int = 1
+    last_stage: Optional[int] = None
 
     @property
     def num_features(self) -> int:
-        return 512 if self.block == "basic" else 2048
+        last = len(self.stage_sizes) if self.last_stage is None else self.last_stage
+        expansion = 1 if self.block == "basic" else 4
+        return 64 * 2 ** (last - 1) * expansion
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: [B, H, W, C]
         x = x.astype(self.dtype)
-        x = _conv(64, 7, 2, "conv1", self.dtype)(x)
-        x = _bn(train, "bn1", self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        first = self.first_stage
+        last = len(self.stage_sizes) if self.last_stage is None else self.last_stage
+        if not 1 <= first <= last <= len(self.stage_sizes):
+            raise ValueError(
+                f"stage slice [{first}, {last}] out of range for "
+                f"{len(self.stage_sizes)} stages"
+            )
+        if first == 1:
+            x = _conv(64, 7, 2, "conv1", self.dtype)(x)
+            x = _bn(train, "bn1", self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = 1 if self.block == "basic" else 4
-        planes = 64
-        in_planes = 64
+        planes = 64 * 2 ** (first - 1)
+        in_planes = 64 if first == 1 else 64 * 2 ** (first - 2) * expansion
         for stage_idx, n_blocks in enumerate(self.stage_sizes):
+            if not first - 1 <= stage_idx <= last - 1:
+                continue
             if train and self.stop_grad_stage == stage_idx + 1:
                 x = jax.lax.stop_gradient(x)
             if (
@@ -256,6 +277,8 @@ def create_resnet(
     module_name: Optional[str] = None,
     s2d_stage1: bool = False,
     stop_grad_stage: int = 0,
+    first_stage: int = 1,
+    last_stage: Optional[int] = None,
 ) -> ResNet:
     if name not in RESNET_SPECS:
         raise ValueError(f"unknown backbone {name!r}; choose from {sorted(RESNET_SPECS)}")
@@ -268,6 +291,8 @@ def create_resnet(
         name=module_name,
         s2d_stage1=s2d_stage1,
         stop_grad_stage=stop_grad_stage,
+        first_stage=first_stage,
+        last_stage=last_stage,
     )
 
 

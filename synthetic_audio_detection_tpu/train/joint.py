@@ -18,6 +18,13 @@ TPU-native way:
   path uses, ensemble/multihead.py). Per-step cost is therefore ~one
   single-head step — training N heads sequentially pays the backbone N times
   for the same effective artifact.
+- ``per_head_stages=K`` moves the share/specialize seam: the trailing K
+  ResNet stages run per-head (stacked + vmapped) on top of a shared trunk.
+  K=1 gives every head its own layer4 — the SAME specialization capacity a
+  sequential per-head run has under the reference freeze schedule (only
+  layer4+head train in phase 1, submodel_trainer.py:609-633), while the
+  trunk below is still shared and its forward still runs once per batch.
+  K=0 (default) is the fully-shared-backbone economy mode.
 - The loss is the mean of the per-head CrossEntropy losses (multi-task).
   Adam's per-parameter normalization makes each head's trajectory invariant
   to that 1/N scale; the backbone sees the average of the head pulls.
@@ -53,7 +60,7 @@ from synthetic_audio_detection_tpu.checkpoints import serialization
 from synthetic_audio_detection_tpu.data import dataset as ds
 from synthetic_audio_detection_tpu.ensemble import multihead
 from synthetic_audio_detection_tpu.models.head import BinaryHead
-from synthetic_audio_detection_tpu.models.resnet import create_resnet
+from synthetic_audio_detection_tpu.models.resnet import RESNET_SPECS, create_resnet
 from synthetic_audio_detection_tpu.parallel import sharding as sh
 from synthetic_audio_detection_tpu.train import steps
 from synthetic_audio_detection_tpu.train.plateau import PlateauState
@@ -92,6 +99,16 @@ def joint_freeze_mask(params: Any, phase2: bool) -> Any:
     return {"base": base_mask, "heads": heads_mask}
 
 
+def trunk_last_stage(model_name: str, per_head_stages: int) -> int:
+    """1-based index of the last SHARED backbone stage."""
+    n_stages = len(RESNET_SPECS[model_name][1])
+    if not 0 <= per_head_stages < n_stages:
+        raise ValueError(
+            f"per_head_stages must be in [0, {n_stages - 1}], got {per_head_stages}"
+        )
+    return n_stages - per_head_stages
+
+
 def init_joint_state(
     model_name: str,
     num_heads: int,
@@ -99,22 +116,53 @@ def init_joint_state(
     cfg: TrainConfig,
     input_hw: Tuple[int, int],
     dtype: Any = jnp.float32,
+    per_head_stages: int = 0,
 ) -> Tuple[JointTrainState, optax.GradientTransformation]:
     """Backbone initialized once; each head initialized with its own RNG so
-    the stacked heads start independent (like N separate trainer runs)."""
+    the stacked heads start independent (like N separate trainer runs).
+
+    With per_head_stages=K the trailing K ResNet stages are per-head: the
+    'heads' subtree becomes {'tail': <stacked layer-stage params>, 'mlp':
+    <stacked BinaryHead params>} and 'base' holds only the shared trunk."""
+    t_last = trunk_last_stage(model_name, per_head_stages)
     base_rng, *head_rngs = jax.random.split(rng, num_heads + 1)
-    base = create_resnet(model_name, 3, dtype, module_name="base")
+    base = create_resnet(model_name, 3, dtype, module_name="base",
+                         last_stage=t_last)
     dummy = jnp.zeros((2, *input_hw, 3), jnp.float32)
     base_vars = base.init({"params": base_rng}, dummy, train=False)
     feats = base.apply(base_vars, dummy, train=False)
     head = BinaryHead(dtype=dtype)
-    head_vars = [head.init({"params": r}, feats, train=False) for r in head_rngs]
-    stacked = multihead.stack_variables(head_vars)
-    params = {"base": base_vars["params"], "heads": stacked["params"]}
-    batch_stats = {
-        "base": base_vars.get("batch_stats", {}),
-        "heads": stacked.get("batch_stats", {}),
-    }
+    if per_head_stages == 0:
+        head_vars = [head.init({"params": r}, feats, train=False) for r in head_rngs]
+        stacked = multihead.stack_variables(head_vars)
+        params = {"base": base_vars["params"], "heads": stacked["params"]}
+        batch_stats = {
+            "base": base_vars.get("batch_stats", {}),
+            "heads": stacked.get("batch_stats", {}),
+        }
+    else:
+        tail = create_resnet(model_name, 3, dtype, module_name="base",
+                             first_stage=t_last + 1)
+        tail_vars, mlp_vars = [], []
+        for r in head_rngs:
+            r_tail, r_mlp = jax.random.split(r)
+            tv = tail.init({"params": r_tail}, feats, train=False)
+            tail_vars.append(tv)
+            tail_feats = tail.apply(tv, feats, train=False)
+            mlp_vars.append(head.init({"params": r_mlp}, tail_feats, train=False))
+        st_tail = multihead.stack_variables(tail_vars)
+        st_mlp = multihead.stack_variables(mlp_vars)
+        params = {
+            "base": base_vars["params"],
+            "heads": {"tail": st_tail["params"], "mlp": st_mlp["params"]},
+        }
+        batch_stats = {
+            "base": base_vars.get("batch_stats", {}),
+            "heads": {
+                "tail": st_tail.get("batch_stats", {}),
+                "mlp": st_mlp.get("batch_stats", {}),
+            },
+        }
     tx = steps.make_optimizer(cfg)
     state = JointTrainState(
         step=jnp.zeros((), jnp.int32),
@@ -142,17 +190,32 @@ def _head_forward_train(
     head_stats: Any,
     feats: jnp.ndarray,
     drop_rngs: jax.Array,
+    tail: Any = None,
 ) -> Tuple[jnp.ndarray, Any]:
-    """Vmapped over the stacked head axis → ([N, B, 2] logits, new stats)."""
+    """Vmapped over the stacked head axis → ([N, B, 2] logits, new stats).
+
+    With a tail module (per_head_stages > 0) each head runs its own trailing
+    backbone stages on the shared trunk features first; head_params/head_stats
+    are then {'tail': ..., 'mlp': ...} stacked trees."""
 
     def one(hp, hs, r):
+        x = feats
+        if tail is not None:
+            x, t_mut = tail.apply(
+                {"params": hp["tail"], "batch_stats": hs["tail"]},
+                x, train=True, mutable=["batch_stats"],
+            )
         out, mutated = head.apply(
-            {"params": hp, "batch_stats": hs},
-            feats,
+            {"params": hp["mlp"] if tail is not None else hp,
+             "batch_stats": hs["mlp"] if tail is not None else hs},
+            x,
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": r},
         )
+        if tail is not None:
+            return out, {"tail": t_mut["batch_stats"],
+                         "mlp": mutated["batch_stats"]}
         return out, mutated["batch_stats"]
 
     return jax.vmap(one)(head_params, head_stats, drop_rngs)
@@ -169,15 +232,28 @@ def make_joint_train_step(
     stop_grad_stage: int = 0,
     dft_mode: Optional[str] = None,
     dtype: Any = jnp.float32,
+    per_head_stages: int = 0,
 ) -> Callable:
     """joint_step(state, batch, rng) -> (state, metrics).
 
     batch: {'audio': [B, T] (or int16 PCM transport), 'label': [B] int32 in
     0..N, optional 'weight': [B] 0/1 pad mask}. One XLA program: device mel →
-    shared backbone fwd → vmapped heads fwd → mean-CE bwd → masked AdamW →
-    NaN skip (the same one-program contract as train/steps.py)."""
+    shared trunk fwd → vmapped per-head (tail+)head fwd → mean-CE bwd →
+    masked AdamW → NaN skip (the same one-program contract as
+    train/steps.py). stop_grad_stage is an ABSOLUTE stage index: each slice
+    (trunk / per-head tail) applies it only if the boundary falls inside it,
+    so the phase-1 boundary (stage 4) with per_head_stages=1 stops the
+    gradient exactly at the trunk/tail seam and XLA DCEs the whole trunk
+    backward."""
 
     head = BinaryHead(dtype=dtype)
+    t_last = trunk_last_stage(model_name, per_head_stages)
+    tail = (
+        create_resnet(model_name, 3, dtype, module_name="base",
+                      first_stage=t_last + 1,
+                      stop_grad_stage=stop_grad_stage)
+        if per_head_stages else None
+    )
 
     def joint_step(state: JointTrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         rng_mask, rng_drop = jax.random.split(rng)
@@ -192,7 +268,8 @@ def make_joint_train_step(
 
         def loss_fn(params):
             base = create_resnet(model_name, 3, dtype, module_name="base",
-                                 stop_grad_stage=stop_grad_stage)
+                                 stop_grad_stage=stop_grad_stage,
+                                 last_stage=t_last)
             feats, mutated = base.apply(
                 {"params": params["base"],
                  "batch_stats": state.batch_stats["base"]},
@@ -200,7 +277,7 @@ def make_joint_train_step(
             )
             logits_nb, new_head_stats = _head_forward_train(
                 head, params["heads"], state.batch_stats["heads"], feats,
-                drop_rngs,
+                drop_rngs, tail=tail,
             )
             per_head = jax.vmap(steps.cross_entropy, in_axes=(0, 0, None))(
                 logits_nb, y_nb, weights
@@ -258,6 +335,7 @@ def make_joint_eval_step(
     sample_rate: int = 32_000,
     dft_mode: Optional[str] = None,
     dtype: Any = jnp.float32,
+    per_head_stages: int = 0,
 ) -> Callable:
     """eval_step(state_vars, batch) → per-head sufficient statistics AND the
     ensemble verdict in one program: per-head [N,2,2] confusion, per-head
@@ -266,6 +344,12 @@ def make_joint_eval_step(
     quantity tools/accuracy_study.py measures offline)."""
 
     head = BinaryHead(dtype=dtype)
+    t_last = trunk_last_stage(model_name, per_head_stages)
+    tail = (
+        create_resnet(model_name, 3, dtype, module_name="base",
+                      first_stage=t_last + 1)
+        if per_head_stages else None
+    )
 
     def eval_step(variables, batch):
         audio = batch["audio"]
@@ -278,7 +362,8 @@ def make_joint_eval_step(
         weights = batch.get("weight")
         w = (weights if weights is not None
              else jnp.ones_like(labels)).astype(jnp.float32)
-        base = create_resnet(model_name, 3, dtype, module_name="base")
+        base = create_resnet(model_name, 3, dtype, module_name="base",
+                             last_stage=t_last)
         feats = base.apply(
             {"params": variables["params"]["base"],
              "batch_stats": variables["batch_stats"]["base"]},
@@ -286,8 +371,16 @@ def make_joint_eval_step(
         )
 
         def one(hp, hs):
+            y = feats
+            if tail is not None:
+                y = tail.apply(
+                    {"params": hp["tail"], "batch_stats": hs["tail"]},
+                    y, train=False,
+                )
             return head.apply(
-                {"params": hp, "batch_stats": hs}, feats, train=False
+                {"params": hp["mlp"] if tail is not None else hp,
+                 "batch_stats": hs["mlp"] if tail is not None else hs},
+                y, train=False,
             )
 
         logits_nb = jax.vmap(one)(
@@ -349,9 +442,11 @@ class JointTrainer:
         augment: Optional[SpecAugmentConfig] = None,
         log_dir: Optional[str] = None,
         use_mesh: bool = True,
+        per_head_stages: int = 0,
     ):
         if not synthetic_classes:
             raise ValueError("need at least one synthetic class")
+        self.per_head_stages = per_head_stages
         self.cfg = cfg
         self.spec_cfg = spec_cfg or SpectrogramConfig.train()
         self.augment = augment or SpecAugmentConfig()
@@ -371,6 +466,7 @@ class JointTrainer:
         self.state, self.tx = init_joint_state(
             model_name, self.num_heads, init_rng, cfg,
             self.spec_cfg.model_input_hw(), dtype=self.dtype,
+            per_head_stages=per_head_stages,
         )
         self.plateau = PlateauState(cfg.plateau_factor, cfg.plateau_patience)
         self.best_acc = 0.0
@@ -386,7 +482,7 @@ class JointTrainer:
         self._train_step = self._build_train_step()
         self._eval_step = jax.jit(make_joint_eval_step(
             model_name, self.spec_cfg, self.num_heads, dtype=self.dtype,
-            dft_mode=self._dft_mode(),
+            dft_mode=self._dft_mode(), per_head_stages=per_head_stages,
         ))
         self.writer = SummaryWriter(
             log_dir or os.path.join("runs", f"joint_{int(time.time())}")
@@ -410,7 +506,7 @@ class JointTrainer:
                 self.model_name, self.tx, self.cfg, self.spec_cfg,
                 self.augment, self.num_heads,
                 stop_grad_stage=stage, dft_mode=self._dft_mode(),
-                dtype=self.dtype,
+                dtype=self.dtype, per_head_stages=self.per_head_stages,
             ),
             donate_argnums=(0,),
         )
@@ -427,19 +523,37 @@ class JointTrainer:
         v = jax.tree_util.tree_map(np.asarray, self.variables())
         per_head = []
         for i in range(self.num_heads):
+            take_i = lambda a, i=i: a[i]
+            if self.per_head_stages:
+                # head i's full backbone = shared trunk ∪ its own trailing
+                # stages (disjoint top-level module names — resnet.py stage
+                # slicing keeps the full model's key space).
+                base_params = dict(
+                    v["params"]["base"],
+                    **jax.tree_util.tree_map(take_i, v["params"]["heads"]["tail"]),
+                )
+                base_stats = dict(
+                    v["batch_stats"]["base"],
+                    **jax.tree_util.tree_map(
+                        take_i, v["batch_stats"]["heads"]["tail"]
+                    ),
+                )
+                head_params = jax.tree_util.tree_map(
+                    take_i, v["params"]["heads"]["mlp"]
+                )
+                head_stats = jax.tree_util.tree_map(
+                    take_i, v["batch_stats"]["heads"]["mlp"]
+                )
+            else:
+                base_params = v["params"]["base"]
+                base_stats = v["batch_stats"]["base"]
+                head_params = jax.tree_util.tree_map(take_i, v["params"]["heads"])
+                head_stats = jax.tree_util.tree_map(
+                    take_i, v["batch_stats"]["heads"]
+                )
             per_head.append({
-                "params": {
-                    "base": v["params"]["base"],
-                    "head": jax.tree_util.tree_map(
-                        lambda a, i=i: a[i], v["params"]["heads"]
-                    ),
-                },
-                "batch_stats": {
-                    "base": v["batch_stats"]["base"],
-                    "head": jax.tree_util.tree_map(
-                        lambda a, i=i: a[i], v["batch_stats"]["heads"]
-                    ),
-                },
+                "params": {"base": base_params, "head": head_params},
+                "batch_stats": {"base": base_stats, "head": head_stats},
             })
         from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
 
@@ -463,6 +577,7 @@ class JointTrainer:
             "model_name": self.model_name,
             "class_names": self.class_names,
             "num_heads": self.num_heads,
+            "per_head_stages": self.per_head_stages,
             "format": "sad-tpu-joint-v1",
         }
         serialization.save_native(path, payload, metadata=meta)
@@ -476,6 +591,12 @@ class JointTrainer:
         tree, meta = serialization.load_native(path)
         if meta.get("format") != "sad-tpu-joint-v1":
             raise ValueError(f"{path}: not a joint-trainer checkpoint")
+        ckpt_phs = int(meta.get("per_head_stages", 0))
+        if ckpt_phs != self.per_head_stages:
+            raise ValueError(
+                f"{path}: checkpoint per_head_stages={ckpt_phs} but trainer "
+                f"was built with per_head_stages={self.per_head_stages}"
+            )
         self.state = self.state.replace(
             params=tree["variables"]["params"],
             batch_stats=tree["variables"]["batch_stats"],

@@ -235,3 +235,54 @@ def test_merge_from_native_checkpoint(tmp_path):
         np.asarray(ens.variables["params"]["base"]["conv1"]["kernel"][0]),
         np.asarray(trained["params"]["base"]["conv1"]["kernel"]),
     )
+
+
+def test_shared_trunk_path_matches_dense(rng):
+    """shared_trunk_stages fast path (trunk once + vmapped per-head layer4 +
+    heads — the joint trainer's per_head_stages artifacts, train/joint.py)
+    must equal the dense per-sub-model path, and must be auto-detected when
+    the sub-models agree everywhere except layer4."""
+    import dataclasses
+
+    from synthetic_audio_detection_tpu.ensemble.multihead import (
+        build_ensemble,
+        ensemble_forward,
+        trunk_shared_stages,
+    )
+    from synthetic_audio_detection_tpu.models.classifier import (
+        BinaryClassifier,
+        init_classifier,
+    )
+
+    model = BinaryClassifier(backbone="resnet18")
+    donor = init_classifier(model, jax.random.PRNGKey(0))
+    vds = []
+    for i in range(2):
+        v = init_classifier(model, jax.random.PRNGKey(10 + i))
+        # share every backbone module EXCEPT layer4 (per-head tail)
+        v["params"]["base"] = {
+            k: (x if k.startswith("layer4") else donor["params"]["base"][k])
+            for k, x in v["params"]["base"].items()
+        }
+        v["batch_stats"]["base"] = {
+            k: (x if k.startswith("layer4")
+                else donor["batch_stats"]["base"][k])
+            for k, x in v["batch_stats"]["base"].items()
+        }
+        vds.append(v)
+    assert trunk_shared_stages(vds) == 1
+    ens = build_ensemble(model, vds, ["A", "B", "Real"])
+    assert not ens.shared_backbone
+    assert ens.shared_trunk_stages == 1
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    fast = np.asarray(ensemble_forward(ens, x))
+    dense = np.asarray(
+        ensemble_forward(dataclasses.replace(ens, shared_trunk_stages=0), x)
+    )
+    np.testing.assert_allclose(fast, dense, rtol=1e-5, atol=1e-5)
+
+    # fully independent backbones: no trunk sharing detected
+    free = [init_classifier(model, jax.random.PRNGKey(50 + i)) for i in range(2)]
+    assert trunk_shared_stages(free) == 0
+    assert build_ensemble(model, free, ["A", "B", "Real"]).shared_trunk_stages == 0

@@ -343,3 +343,268 @@ def test_joint_eval_step_confusion_and_ensemble_acc(joint_setup):
     for h in range(2):
         np.testing.assert_allclose(conf[h].sum(axis=1),
                                    np.bincount(y[h], minlength=2))
+
+
+# ---------------------------------------------------------------------------
+# per_head_stages: per-head trailing backbone stages on a shared trunk
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def joint_phs_setup():
+    cfg = TrainConfig(batch_size=2, lr=1e-3)
+    state, tx = joint.init_joint_state(
+        "resnet18", 2, jax.random.PRNGKey(0), cfg, (64, 64),
+        per_head_stages=1,
+    )
+    return cfg, state, tx
+
+
+def test_joint_per_head_stages_param_layout(joint_phs_setup):
+    """'base' holds only the trunk (no layer4); 'heads' is {'tail','mlp'}
+    with a leading num_heads axis on every leaf; head i's tail ∪ trunk is
+    the full backbone key space."""
+    _, state, _ = joint_phs_setup
+    assert not any(k.startswith("layer4") for k in state.params["base"])
+    assert set(state.params["heads"]) == {"tail", "mlp"}
+    assert all(k.startswith("layer4") for k in state.params["heads"]["tail"])
+    for leaf in jax.tree_util.tree_leaves(state.params["heads"]):
+        assert leaf.shape[0] == 2
+    # independent per-head tail inits (different RNG per head)
+    k0 = np.asarray(state.params["heads"]["tail"]["layer4_0"]["conv1"]["kernel"])
+    assert not np.array_equal(k0[0], k0[1])
+
+
+def test_joint_per_head_stages_matches_loop_oracle(joint_phs_setup):
+    """Grad equality: the vmapped trunk+tail formulation vs an explicit loop
+    where each head applies the FULL backbone assembled from trunk ∪ its own
+    tail (two independent formulations — the loop is literally N sequential
+    single-head models sharing trunk values)."""
+    cfg, state, tx = joint_phs_setup
+    augment = SpecAugmentConfig(enabled=False)
+    step = jax.jit(joint.make_joint_train_step(
+        "resnet18", tx, cfg, SPEC64, augment, num_heads=2, per_head_stages=1,
+    ))
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    _, metrics = step(state, batch, rng)
+
+    from synthetic_audio_detection_tpu.models.head import BinaryHead
+    from synthetic_audio_detection_tpu.models.resnet import create_resnet
+
+    rng_mask, rng_drop = jax.random.split(rng)
+    x = steps._features_from_waveforms(
+        jnp.asarray(batch["audio"]), SPEC64, augment, rng_mask, 32_000
+    )
+    labels = jnp.asarray(batch["label"])
+    weights = jnp.asarray(batch["weight"])
+    drop_rngs = jax.random.split(rng_drop, 2)
+    y_nb = joint.per_head_binary_labels(labels, 2)
+
+    def loop_loss(params, stats, xx, ww, dtype):
+        full = create_resnet("resnet18", 3, dtype, module_name="base")
+        head = BinaryHead(dtype=dtype)
+        losses = []
+        for h in range(2):
+            tail_h = jax.tree_util.tree_map(
+                lambda a, h=h: a[h], params["heads"]["tail"])
+            tail_hs = jax.tree_util.tree_map(
+                lambda a, h=h: a[h], stats["heads"]["tail"])
+            fparams = dict(params["base"], **tail_h)
+            fstats = dict(stats["base"], **tail_hs)
+            feats, _ = full.apply(
+                {"params": fparams, "batch_stats": fstats},
+                xx, train=True, mutable=["batch_stats"],
+            )
+            hp = jax.tree_util.tree_map(
+                lambda a, h=h: a[h], params["heads"]["mlp"])
+            hs = jax.tree_util.tree_map(
+                lambda a, h=h: a[h], stats["heads"]["mlp"])
+            out, _ = head.apply(
+                {"params": hp, "batch_stats": hs}, feats, train=True,
+                mutable=["batch_stats"], rngs={"dropout": drop_rngs[h]},
+            )
+            losses.append(steps.cross_entropy(out, y_nb[h], ww))
+        return jnp.stack(losses).mean()
+
+    def vmap_loss(params, stats, xx, ww, dtype):
+        trunk = create_resnet("resnet18", 3, dtype, module_name="base",
+                              last_stage=3)
+        feats, _ = trunk.apply(
+            {"params": params["base"], "batch_stats": stats["base"]},
+            xx, train=True, mutable=["batch_stats"],
+        )
+        tail = create_resnet("resnet18", 3, dtype, module_name="base",
+                             first_stage=4)
+        logits_nb, _ = joint._head_forward_train(
+            BinaryHead(dtype=dtype), params["heads"], stats["heads"], feats,
+            drop_rngs, tail=tail,
+        )
+        per_head = jax.vmap(steps.cross_entropy, in_axes=(0, 0, None))(
+            logits_nb, y_nb, ww
+        )
+        return per_head.mean()
+
+    # the jitted step's loss vs the f32 loop oracle (same dropout masks —
+    # bernoulli draws change with the x64 flag, so this check must stay f32)
+    loss_oracle = loop_loss(state.params, state.batch_stats, x, weights,
+                            jnp.float32)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(loss_oracle), rtol=1e-5
+    )
+
+    # grad equality between the two formulations runs in float64: they are
+    # the same math in different accumulation orders (batched-vmap convs vs
+    # sequential per-head convs), which in f32 diverges up to ~6e-3 relative
+    # on near-cancelling trunk-grad elements; f64 keeps the oracle tight
+    with jax.enable_x64():
+        def to64(t):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                t,
+            )
+
+        x64 = jnp.asarray(x, jnp.float64)
+        params64 = to64(state.params)
+        stats64 = to64(state.batch_stats)
+        w64 = jnp.asarray(weights, jnp.float64)
+
+        loss_o64, grads_oracle = jax.value_and_grad(loop_loss)(
+            params64, stats64, x64, w64, jnp.float64)
+        loss_v64, grads_vmap = jax.value_and_grad(vmap_loss)(
+            params64, stats64, x64, w64, jnp.float64)
+        np.testing.assert_allclose(float(loss_v64), float(loss_o64),
+                                   rtol=1e-12)
+        flat_v, _ = jax.tree_util.tree_flatten(grads_vmap)
+        flat_o, _ = jax.tree_util.tree_flatten(grads_oracle)
+        for gv, go in zip(flat_v, flat_o):
+            np.testing.assert_allclose(np.asarray(gv), np.asarray(go),
+                                       rtol=1e-9, atol=1e-12)
+
+
+def test_joint_per_head_stages_freeze_and_specialization(joint_phs_setup):
+    """Phase 1: the trunk (stem + layers 1-3) is entirely frozen — every
+    'base' leaf stays bit-identical — while BOTH per-head tails (layer4) and
+    MLP heads move, and move differently across heads."""
+    cfg, state, tx = joint_phs_setup
+    step = jax.jit(joint.make_joint_train_step(
+        "resnet18", tx, cfg, SPEC64, SpecAugmentConfig(enabled=False),
+        num_heads=2, per_head_stages=1,
+    ))
+    new_state, _ = step(state, _batch(), jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["base"]),
+                    jax.tree_util.tree_leaves(new_state.params["base"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dt = (np.asarray(new_state.params["heads"]["tail"]["layer4_0"]["conv1"]["kernel"])
+          - np.asarray(state.params["heads"]["tail"]["layer4_0"]["conv1"]["kernel"]))
+    assert np.abs(dt[0]).max() > 0 and np.abs(dt[1]).max() > 0
+    assert not np.array_equal(dt[0], dt[1])
+    dh = (np.asarray(new_state.params["heads"]["mlp"]["fc1"]["kernel"])
+          - np.asarray(state.params["heads"]["mlp"]["fc1"]["kernel"]))
+    assert np.abs(dh[0]).max() > 0 and np.abs(dh[1]).max() > 0
+    # per-head tail BN stats updated independently
+    s = np.asarray(
+        new_state.batch_stats["heads"]["tail"]["layer4_0"]["bn1"]["mean"])
+    assert s.shape[0] == 2 and not np.array_equal(s[0], s[1])
+
+
+def test_joint_per_head_stages_stop_grad_at_seam(joint_phs_setup):
+    """stop_grad_stage=4 (the phase-1 boundary) with per_head_stages=1 stops
+    the gradient exactly at the trunk/tail seam: trunk grads are EXACT zeros
+    (not merely masked), tail+mlp grads unchanged vs the unstopped step."""
+    cfg, state, tx = joint_phs_setup
+    from synthetic_audio_detection_tpu.models.head import BinaryHead
+    from synthetic_audio_detection_tpu.models.resnet import create_resnet
+
+    batch = _batch()
+    rng = jax.random.PRNGKey(11)
+    rng_mask, rng_drop = jax.random.split(rng)
+    x = steps._features_from_waveforms(
+        jnp.asarray(batch["audio"]), SPEC64, SpecAugmentConfig(enabled=False),
+        rng_mask, 32_000)
+    drop_rngs = jax.random.split(rng_drop, 2)
+    y_nb = joint.per_head_binary_labels(jnp.asarray(batch["label"]), 2)
+    weights = jnp.asarray(batch["weight"])
+
+    def loss(params, sg):
+        trunk = create_resnet("resnet18", 3, jnp.float32, module_name="base",
+                              last_stage=3, stop_grad_stage=sg)
+        feats, _ = trunk.apply(
+            {"params": params["base"],
+             "batch_stats": state.batch_stats["base"]},
+            x, train=True, mutable=["batch_stats"])
+        tail = create_resnet("resnet18", 3, jnp.float32, module_name="base",
+                             first_stage=4, stop_grad_stage=sg)
+        logits_nb, _ = joint._head_forward_train(
+            BinaryHead(), params["heads"], state.batch_stats["heads"], feats,
+            drop_rngs, tail=tail)
+        return jax.vmap(steps.cross_entropy, in_axes=(0, 0, None))(
+            logits_nb, y_nb, weights).mean()
+
+    g_plain = jax.grad(lambda p: loss(p, 0))(state.params)
+    g_sg = jax.grad(lambda p: loss(p, 4))(state.params)
+    for leaf in jax.tree_util.tree_leaves(g_sg["base"]):
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.zeros_like(np.asarray(leaf)))
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain["heads"]),
+                    jax.tree_util.tree_leaves(g_sg["heads"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_joint_trainer_per_head_stages_end_to_end(tmp_path):
+    """Tiny-corpus fit with per_head_stages=1 → merged artifact has DISTINCT
+    per-head backbones (trunk shared, layer4 specialized — shared-backbone
+    fast path correctly NOT detected), its forward agrees with the eval
+    step's aggregation, and resume enforces the per_head_stages contract."""
+    from synthetic_audio_detection_tpu.checkpoints import serialization
+    from synthetic_audio_detection_tpu.train.joint import JointTrainer
+
+    data_dir = _make_corpus(tmp_path)
+    cfg = TrainConfig(
+        data_dir=data_dir, batch_size=2, epochs=1, lr=1e-2, workers=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    t = JointTrainer(cfg, synthetic_classes=["SynA", "SynB"],
+                     spec_cfg=SPEC64, use_mesh=False,
+                     log_dir=str(tmp_path / "tb"), per_head_stages=1)
+    t.fit()
+    merged = tmp_path / "ck" / "joint_model.ckpt.merged.ckpt"
+    assert merged.exists()
+    ens = serialization.load_merged_native(str(merged))
+    assert not ens.shared_backbone  # per-head layer4 ⇒ distinct backbones
+    assert ens.shared_trunk_stages == 1  # …but the trunk IS shared
+    assert ens.class_names == ["SynA", "SynB", "Real"]
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32))
+    out = np.asarray(jax.jit(lambda xx: ens(xx))(x))
+    assert out.shape == (2, 3)
+
+    # merged-artifact forward == per-sub-model full-backbone recomputation
+    # pushed through the ensemble's aggregation contract
+    from synthetic_audio_detection_tpu.ensemble import multihead
+    from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
+
+    trunk_tail_logits = []
+    for sub in multihead.unstack_variables(ens.variables, 2):
+        m = BinaryClassifier(backbone="resnet18")
+        trunk_tail_logits.append(np.asarray(m.apply(sub, x, train=False)))
+    agg = multihead._aggregate(jnp.stack(trunk_tail_logits))
+    np.testing.assert_allclose(out, np.asarray(agg), rtol=1e-5, atol=1e-5)
+
+    # resume with mismatched per_head_stages is rejected
+    final = str(tmp_path / "ck" / "final.ckpt")
+    t.save_checkpoint(epoch=0, path=final)
+    t_bad = JointTrainer(cfg, synthetic_classes=["SynA", "SynB"],
+                         spec_cfg=SPEC64, use_mesh=False,
+                         log_dir=str(tmp_path / "tb2"))
+    with pytest.raises(ValueError, match="per_head_stages"):
+        t_bad.resume(final)
+    # and a matching trainer resumes exactly
+    t2 = JointTrainer(cfg, synthetic_classes=["SynA", "SynB"],
+                      spec_cfg=SPEC64, use_mesh=False,
+                      log_dir=str(tmp_path / "tb3"), per_head_stages=1)
+    t2.resume(final)
+    for g, e in zip(jax.tree_util.tree_leaves(t2.state.params),
+                    jax.tree_util.tree_leaves(t.state.params)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))

@@ -17,7 +17,9 @@
 #   (train/joint.py: shared backbone fwd/bwd + vmapped heads, hard negatives
 #   built in — ~N heads for the cost of one) instead of the sequential
 #   per-head loop; the merge step is skipped (the joint trainer emits the
-#   merged artifact directly).
+#   merged artifact directly). PER_HEAD_STAGES=K (with JOINT=1) trains the
+#   trailing K ResNet stages per head on the shared trunk (K=1: per-head
+#   layer4 — sequential-run specialization capacity at joint cost).
 # Output under <corpus-root>/ensemble/: heads/<cls>/best_model.ckpt,
 #   recipe.csv, merged.pth, study.json
 set -euo pipefail
@@ -30,10 +32,11 @@ SEED=${SEED:-42}
 BF16=${BF16:-1}
 WORKERS=${WORKERS:-8}
 JOINT=${JOINT:-0}
+PER_HEAD_STAGES=${PER_HEAD_STAGES:-0}
 cd "$(dirname "$0")/.."
 
 classes=$(ls "$D/dataset/train" | grep -v '^Real$')
-E="$D/ensemble"
+E="${OUT:-$D/ensemble}"
 mkdir -p "$E/heads"
 bf16_flag=""
 [ "$BF16" = "1" ] && bf16_flag="--bf16"
@@ -46,6 +49,7 @@ if [ "$JOINT" = "1" ]; then
     --synthetic-classes $classes \
     --epochs "$EPOCHS" --batch-size "$BATCH" --input-size "$INPUT_SIZE" \
     $bf16_flag --workers "$WORKERS" --seed "$SEED" \
+    --per-head-stages "$PER_HEAD_STAGES" \
     --checkpoint-dir "$E/joint" --log-dir "$E/runs/joint"
   cp "$E/joint/joint_model.ckpt.merged.pth" "$E/merged.pth"
   echo "=== held-out study"
