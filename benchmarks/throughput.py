@@ -72,6 +72,7 @@ def bench_config(
     mel_stack: bool = False,
     mel_factored: bool = False,
     dft_mode: str = "",
+    trunk_stages: int = 0,
 ) -> dict:
     from __graft_entry__ import _flagship_ensemble
     from synthetic_audio_detection_tpu.ensemble.multihead import fold_to_mono
@@ -81,6 +82,7 @@ def bench_config(
     ens = _flagship_ensemble(
         n_heads=heads, backbone=backbone, shared_backbone=shared_backbone,
         dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+        shared_trunk_stages=trunk_stages,
     )
     if mono:
         ens = fold_to_mono(ens)
@@ -190,6 +192,7 @@ def bench_config(
         "backbone": backbone,
         "mono": mono,
         "int8": int8,
+        "trunk_stages": trunk_stages,
         "ms_per_batch": round(per_iter * 1e3, 2),
         "segments_per_sec": round(batch / per_iter, 1),
     }
@@ -292,6 +295,16 @@ PRESETS = {
                            use_pallas=True, shared_backbone=True),
     "mono-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
                         use_pallas=True, shared_backbone=True, mono=True),
+    # trunk-shared serving (the joint trainer's per_head_stages=1 artifact:
+    # shared trunk once + 6 vmapped per-head layer4 tails, multihead.py)
+    "trunk1-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
+                          use_pallas=True, shared_backbone=False,
+                          trunk_stages=1),
+    "trunk1": dict(batch=128, heads=6, input_size=512, dtype="bf16",
+                   use_pallas=True, shared_backbone=False, trunk_stages=1),
+    # fully dense 6 backbones at native (what trunk sharing saves from)
+    "dense-native": dict(batch=128, heads=6, input_size=0, dtype="bf16",
+                         use_pallas=True, shared_backbone=False),
     "fastpath-mono-native": dict(batch=128, heads=6, input_size=0,
                                  dtype="bf16", use_pallas=True,
                                  shared_backbone=True, fastpath_plain=True,
