@@ -64,17 +64,16 @@ def load_native(path: str) -> Tuple[Any, Dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 def save_merged_native(path: str, ensemble: MultiHeadEnsemble) -> None:
-    save_native(
-        path,
-        ensemble.variables,
-        metadata={
-            "class_names": ensemble.class_names,
-            "backbone": ensemble.model.backbone,
-            "shared_backbone": ensemble.shared_backbone,
-            "shared_trunk_stages": ensemble.shared_trunk_stages,
-            "format": "sad-tpu-merged-v1",
-        },
-    )
+    metadata = {
+        "class_names": ensemble.class_names,
+        "backbone": ensemble.model.backbone,
+        "shared_backbone": ensemble.shared_backbone,
+        "shared_trunk_stages": ensemble.shared_trunk_stages,
+        "format": "sad-tpu-merged-v1",
+    }
+    if ensemble.calibration:
+        metadata["calibration"] = dict(ensemble.calibration)
+    save_native(path, ensemble.variables, metadata=metadata)
 
 
 def load_merged_native(path: str) -> MultiHeadEnsemble:
@@ -93,6 +92,8 @@ def load_merged_native(path: str) -> MultiHeadEnsemble:
     trunk_k = int(meta.get("shared_trunk_stages", 0))
     if trunk_k and not ens.shared_backbone:
         ens = dataclasses.replace(ens, shared_trunk_stages=trunk_k)
+    if meta.get("calibration"):
+        ens = dataclasses.replace(ens, calibration=dict(meta["calibration"]))
     return ens
 
 
@@ -104,10 +105,12 @@ def save_merged_torch(path: str, ensemble: MultiHeadEnsemble) -> None:
     sd = torch_compat.merged_state_dict_from_ensembles(
         [jax.tree_util.tree_map(np.asarray, v) for v in per_model]
     )
-    torch_pickle.save(
-        {"state_dict": sd, "metadata": {"class_names": list(ensemble.class_names)}},
-        path,
-    )
+    metadata: Dict[str, Any] = {"class_names": list(ensemble.class_names)}
+    if ensemble.calibration:
+        # extra metadata key; the reference loader reads only class_names
+        # (inference_runner.py:250-252), so its round-trip is unaffected
+        metadata["calibration"] = dict(ensemble.calibration)
+    torch_pickle.save({"state_dict": sd, "metadata": metadata}, path)
 
 
 def load_merged_torch(path: str, backbone: str = "resnet18") -> MultiHeadEnsemble:
@@ -127,7 +130,10 @@ def load_merged_torch(path: str, backbone: str = "resnet18") -> MultiHeadEnsembl
     if len(class_names) != len(subs) + 1:
         class_names = [f"Synthetic_{i + 1}" for i in range(len(subs))] + ["Real"]
     model = BinaryClassifier(backbone=backbone)
-    return build_ensemble(model, variable_dicts, class_names)
+    ens = build_ensemble(model, variable_dicts, class_names)
+    if isinstance(meta, dict) and meta.get("calibration"):
+        ens = dataclasses.replace(ens, calibration=dict(meta["calibration"]))
+    return ens
 
 
 def load_merged(path: str, backbone: str = "resnet18") -> MultiHeadEnsemble:

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "percentages). Default off: the reference emits "
                    "unrounded floats (inference_runner.py:293-349) and the "
                    "default output is byte-faithful to it.")
+    p.add_argument("--no-calibration", action="store_true",
+                   help="Ignore checkpoint-carried temperature calibration "
+                   "(tools/calibrate_ensemble.py) and report raw sigmoids. "
+                   "Uncalibrated checkpoints are unaffected either way.")
     return p
 
 
@@ -114,6 +118,7 @@ def main(argv=None) -> int:
             smooth=args.smooth,
             batch_size=args.batch_size,
             round_floats=args.round_floats,
+            apply_calibration=not args.no_calibration,
         ),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )

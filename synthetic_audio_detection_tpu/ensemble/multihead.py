@@ -20,7 +20,7 @@ runs once and only the tiny MLP heads are vmapped (`shared_backbone=True`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,11 @@ class MultiHeadEnsemble:
     # tails + MLP heads are vmapped — N×-cheaper trunk without requiring
     # fully identical backbones. 0 = no trunk sharing detected.
     shared_trunk_stages: int = 0
+    # Optional post-hoc calibration (utils/calibration.py): per-output-column
+    # temperatures (+ optional operating threshold) fit on held-out data by
+    # tools/calibrate_ensemble.py and carried in merged-checkpoint metadata.
+    # None = the reference's raw-sigmoid behavior, bit-identical.
+    calibration: Optional[Dict[str, Any]] = None
 
     @property
     def num_heads(self) -> int:

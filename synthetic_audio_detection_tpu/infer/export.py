@@ -138,6 +138,10 @@ def export_serving(
         # the weights in as constants (load_artifact handles both)
         "weights_nbytes": len(weights_blob),
     }
+    if ensemble.calibration:
+        # temperature calibration is a host-side post-scale (infer/pipeline),
+        # so it rides artifact metadata rather than the exported programs
+        meta["calibration"] = dict(ensemble.calibration)
     head = json.dumps(meta, sort_keys=True).encode()
     buf = io.BytesIO()
     buf.write(_MAGIC)

@@ -236,6 +236,7 @@ class InferencePipeline:
         self.audio = audio or AudioConfig()
         self.spec = spec_resolved
         self.infer = infer or InferenceConfig()
+        self._resolve_calibration()
         self.use_gemm_dft = use_gemm_dft
         self.compute_dtype = compute_dtype
         if use_pallas is None:
@@ -342,6 +343,7 @@ class InferencePipeline:
         self.ensemble = MultiHeadEnsemble(
             model=None, variables=None,
             class_names=list(meta["class_names"]),
+            calibration=meta.get("calibration") or None,
         )
         # host-side knobs (overlap, silence gate) come from the caller; the
         # sample rate is the artifact's — it defines what the exported
@@ -350,6 +352,7 @@ class InferencePipeline:
             audio or AudioConfig(), sample_rate=meta["sample_rate"])
         self.spec = SpectrogramConfig(**meta["spec"])
         self.infer = infer or InferenceConfig(batch_size=sizes[-1])
+        self._resolve_calibration()
         self.use_gemm_dft = True
         self.compute_dtype = jnp.dtype(meta["compute_dtype"])
         self.use_pallas = False
@@ -363,6 +366,26 @@ class InferencePipeline:
         self._jit_fwd_diag = None
         self._jit_per_head = None
         return self
+
+    # -- calibration --------------------------------------------------------
+
+    def _resolve_calibration(self) -> None:
+        """Engage the checkpoint's temperature calibration (if any).
+
+        utils/calibration.py: ``ensemble.calibration`` carries per-column
+        temperatures (+ optionally an EER operating threshold) fit offline
+        by tools/calibrate_ensemble.py. Scaled logits feed the UNCHANGED
+        decision rule, so an uncalibrated checkpoint is bit-identical to the
+        reference path. A calibration-stored threshold applies only while
+        ``infer.threshold`` is the 0.5 default (the compat CLI's
+        ``--threshold`` wins; ``--no-calibration`` disables both).
+        """
+        cal = self.ensemble.calibration
+        self._cal = cal if (cal and self.infer.apply_calibration) else None
+        self._threshold = self.infer.threshold
+        if (self._cal and "threshold" in self._cal
+                and self.infer.threshold == 0.5):
+            self._threshold = float(self._cal["threshold"])
 
     # -- bucketing ----------------------------------------------------------
 
@@ -536,12 +559,18 @@ class InferencePipeline:
 
         if logits is None:
             logits = self.logits_for_windows(windows)
+        if self._cal is not None:
+            from synthetic_audio_detection_tpu.utils.calibration import (
+                apply_calibration,
+            )
+
+            logits = apply_calibration(logits, self._cal)
         # Host-side verdict in float32 numpy, matching the reference's
         # torch.sigmoid → numpy text byte-for-byte (jax.nn.sigmoid's stable
         # formulation differs in the last ulp, which would leak into the
         # unrounded percentage floats). decide() stays the jitted in-graph
         # variant for device-resident consumers.
-        thr = self.infer.threshold
+        thr = self._threshold
         probs = (1.0 / (1.0 + np.exp(-np.asarray(logits, np.float32)))
                  ).astype(np.float32)
         syn, real = probs[:, :-1], probs[:, -1]
@@ -586,8 +615,8 @@ class InferencePipeline:
         # after renormalization the reference re-applies the same rule with
         # the configured threshold scaled to the renormalized scale: it
         # compares the renormalized values against threshold directly
-        is_real = (real >= self.infer.threshold) & np.all(
-            syn < self.infer.threshold, axis=1
+        is_real = (real >= self._threshold) & np.all(
+            syn < self._threshold, axis=1
         )
         label_idx = np.where(is_real, n, syn.argmax(axis=1))
         return sm, label_idx

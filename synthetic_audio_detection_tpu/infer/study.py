@@ -33,6 +33,54 @@ from synthetic_audio_detection_tpu.utils import metrics as metrics_mod
 Perturb = Callable[[np.ndarray, np.random.Generator], np.ndarray]
 
 
+def collect_logits_tree(
+    pipe: InferencePipeline, data_dir: str
+) -> Dict[str, np.ndarray]:
+    """Per-WINDOW serving logits over a labeled segment tree.
+
+    → {"logits": [num, N+1] float32 (RAW, pre-calibration), "class_idx":
+    [num] int64 index into pipe.ensemble.class_names (the real class is the
+    last index; a folder not matching any ensemble class name is skipped
+    with a warning — it has no column to calibrate against)}.
+
+    This is the measurement feed for tools/calibrate_ensemble.py: windows
+    are the decision rule's unit, so calibration is fit at window
+    granularity on the same serving numerics the verdicts use.
+    """
+    import logging
+
+    names = list(pipe.ensemble.class_names)
+    logits_out, idx_out = [], []
+    classes = sorted(
+        d for d in os.listdir(data_dir)
+        if os.path.isdir(os.path.join(data_dir, d))
+    )
+    for cls in classes:
+        if cls not in names:
+            logging.getLogger(__name__).warning(
+                "collect_logits_tree: folder %r matches no ensemble class "
+                "%s; skipped", cls, names)
+            continue
+        ci = names.index(cls)
+        folder = os.path.join(data_dir, cls)
+        for name in sorted(os.listdir(folder)):
+            if not name.lower().endswith(".wav"):
+                continue
+            wf = preprocess_waveform(os.path.join(folder, name), pipe.audio)
+            windows, _ = slice_waveform(wf, pipe.audio)
+            if windows.shape[0] == 0:
+                continue
+            lg = pipe.logits_for_windows(windows)
+            logits_out.append(np.asarray(lg, np.float32))
+            idx_out.extend([ci] * lg.shape[0])
+    if not logits_out:
+        raise ValueError(f"{data_dir}: no usable labeled segments")
+    return {
+        "logits": np.concatenate(logits_out, axis=0),
+        "class_idx": np.asarray(idx_out, np.int64),
+    }
+
+
 def evaluate_tree(
     pipe: InferencePipeline,
     data_dir: str,

@@ -1,0 +1,207 @@
+"""Post-hoc probability calibration for the ensemble's sigmoid outputs.
+
+The reference reports raw element-wise sigmoids as confidence percentages
+(inference_runner.py:327-334) and hard-codes the 0.5 decision threshold
+(:224); nothing in it checks whether "93%" means 93 in a hundred. Modern
+deepfake-detector deployments need calibrated confidences (dashboards,
+review-queue triage, score fusion across detectors), so this module adds
+the standard post-hoc fix the reference lacks: **per-column temperature
+scaling** (one scalar T per aggregated ensemble output — syn_1..syn_N and
+the real mean) fit by minimizing binary NLL on held-out labeled data, plus
+the expected-calibration-error measurement that motivates it.
+
+Design constraints honored:
+- Pure numpy, deterministic, dependency-light (tests pin the optimum
+  against scipy as an oracle). Fitting is offline tooling
+  (tools/calibrate_ensemble.py); serving applies a single per-column
+  divide on the host before the sigmoid — no new device programs.
+- Temperature scaling preserves each column's ranking (AUC/EER are
+  unchanged by construction); it can still move near-threshold verdicts
+  because the unanimity rule compares several differently-scaled columns
+  against one threshold.
+- An UNcalibrated checkpoint behaves bit-identically to before: the
+  calibration dict lives in optional checkpoint metadata and the serving
+  path only engages when it is present (infer/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# Fitted inverse-temperature bounds: s = 1/T clamped to [1/T_MAX, 1/T_MIN].
+# Perfectly separated columns push s -> inf (NLL monotone decreasing); the
+# clamp keeps the fit finite and the stored temperature meaningful.
+T_MIN = 1e-2
+T_MAX = 1e3
+
+
+def stable_sigmoid(u: np.ndarray) -> np.ndarray:
+    """Overflow-safe sigmoid: exp only ever sees non-positive arguments."""
+    u = np.asarray(u, np.float64)
+    e = np.exp(-np.abs(u))
+    return np.where(u >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
+
+
+def binary_nll(logits: np.ndarray, labels: np.ndarray, scale: float = 1.0) -> float:
+    """Mean binary cross-entropy of ``sigmoid(scale * logits)`` vs labels.
+
+    Stable formulation: softplus(u) - y*u with softplus(u) computed as
+    max(u, 0) + log1p(exp(-|u|)).
+    """
+    u = np.asarray(logits, np.float64) * float(scale)
+    y = np.asarray(labels, np.float64)
+    softplus = np.maximum(u, 0.0) + np.log1p(np.exp(-np.abs(u)))
+    return float(np.mean(softplus - y * u))
+
+
+def fit_temperature(
+    logits: np.ndarray, labels: np.ndarray, iters: int = 80
+) -> float:
+    """Fit T minimizing ``binary_nll(logits, labels, scale=1/T)``.
+
+    The NLL is convex in the inverse temperature s (its second derivative,
+    mean(sigmoid'(s*z) * z^2), is nonnegative), so the gradient
+    g(s) = mean((sigmoid(s*z) - y) * z) is nondecreasing and bisection on
+    its sign finds the global optimum deterministically — no line searches,
+    no dependence on optimizer defaults. Degenerate inputs (single-class
+    labels, all-zero logits) return T=1.
+    """
+    z = np.asarray(logits, np.float64).ravel()
+    y = np.asarray(labels, np.float64).ravel()
+    if z.shape != y.shape:
+        raise ValueError(f"logits {z.shape} vs labels {y.shape}")
+    if z.size == 0 or len(np.unique(y)) < 2 or not np.any(z):
+        return 1.0
+
+    def grad(s: float) -> float:
+        return float(np.mean((stable_sigmoid(s * z) - y) * z))
+
+    lo, hi = 1.0 / T_MAX, 1.0 / T_MIN
+    g_lo, g_hi = grad(lo), grad(hi)
+    if g_lo >= 0.0:  # optimum at or below the s floor (huge T)
+        return 1.0 / lo
+    if g_hi <= 0.0:  # separable: optimum beyond the s ceiling (tiny T)
+        return 1.0 / hi
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if grad(mid) > 0.0:
+            hi = mid
+        else:
+            lo = mid
+    return float(1.0 / (0.5 * (lo + hi)))
+
+
+def expected_calibration_error(
+    probs: np.ndarray, labels: np.ndarray, n_bins: int = 15
+) -> float:
+    """ECE with equal-width confidence bins on [0, 1]: the support-weighted
+    mean |accuracy - mean confidence| per bin (Guo et al. 2017 convention
+    applied to the binary "positive" probability directly)."""
+    p = np.asarray(probs, np.float64).ravel()
+    y = np.asarray(labels, np.float64).ravel()
+    if p.shape != y.shape:
+        raise ValueError(f"probs {p.shape} vs labels {y.shape}")
+    if p.size == 0:
+        return 0.0
+    # right-closed bins; clip 1.0 into the last bin
+    idx = np.minimum((p * n_bins).astype(np.int64), n_bins - 1)
+    ece = 0.0
+    for b in range(n_bins):
+        mask = idx == b
+        m = int(mask.sum())
+        if not m:
+            continue
+        ece += (m / p.size) * abs(float(y[mask].mean()) - float(p[mask].mean()))
+    return float(ece)
+
+
+def fit_ensemble_calibration(
+    logits: np.ndarray,
+    class_idx: np.ndarray,
+    class_names: Sequence[str],
+    store_eer_threshold: bool = False,
+    fit_on: Optional[str] = None,
+) -> Dict[str, object]:
+    """Fit per-column temperatures for aggregated ensemble outputs.
+
+    ``logits``: [num, N+1] serving logits (columns syn_1..syn_N, real mean —
+    ensemble.multihead._aggregate order). ``class_idx``: [num] true class
+    index into ``class_names`` (index N = the real class). Column j's binary
+    target is "is this window class j" for synthetic columns and "is this
+    window real" for the last column.
+
+    Returns the calibration dict stored in merged-checkpoint metadata:
+    ``{"temperatures": [N+1 floats], "column_names": [...], "fit_on": ...,
+    "ece_before": [...], "ece_after": [...], "nll_before": [...],
+    "nll_after": [...]}`` plus ``"threshold"`` (the calibrated real column's
+    EER operating point mapped through its sigmoid) when
+    ``store_eer_threshold`` — the serving default stays 0.5 otherwise, which
+    post-calibration is the NLL-consistent operating point.
+    """
+    z = np.asarray(logits, np.float64)
+    ci = np.asarray(class_idx, np.int64).ravel()
+    if z.ndim != 2 or z.shape[1] != len(class_names):
+        raise ValueError(
+            f"logits {z.shape} vs {len(class_names)} classes {list(class_names)}")
+    if z.shape[0] != ci.shape[0]:
+        raise ValueError(f"logits rows {z.shape[0]} vs labels {ci.shape[0]}")
+    n_heads = len(class_names) - 1
+
+    temps: List[float] = []
+    ece_b: List[float] = []
+    ece_a: List[float] = []
+    nll_b: List[float] = []
+    nll_a: List[float] = []
+    for j in range(n_heads + 1):
+        target = (ci == j).astype(np.float64)
+        col = z[:, j]
+        t = fit_temperature(col, target)
+        temps.append(round(float(t), 6))
+        p_raw = stable_sigmoid(col)
+        p_cal = stable_sigmoid(col / t)
+        ece_b.append(round(expected_calibration_error(p_raw, target), 6))
+        ece_a.append(round(expected_calibration_error(p_cal, target), 6))
+        nll_b.append(round(binary_nll(col, target), 6))
+        nll_a.append(round(binary_nll(col, target, scale=1.0 / t), 6))
+
+    out: Dict[str, object] = {
+        "temperatures": temps,
+        "column_names": list(class_names),
+        "ece_before": ece_b,
+        "ece_after": ece_a,
+        "nll_before": nll_b,
+        "nll_after": nll_a,
+    }
+    if fit_on:
+        out["fit_on"] = fit_on
+    if store_eer_threshold:
+        from synthetic_audio_detection_tpu.utils.metrics import equal_error_rate
+
+        # detector score = calibrated real sigmoid; positives = real windows.
+        # The EER threshold on that score IS a probability threshold, directly
+        # usable as the decision rule's operating point.
+        real_col = z[:, -1] / temps[-1]
+        p_real = stable_sigmoid(real_col)
+        is_real = (ci == n_heads).astype(np.int64)
+        if 0 < is_real.sum() < is_real.size:
+            _, thr = equal_error_rate(p_real, is_real)
+            out["threshold"] = round(float(thr), 6)
+    return out
+
+
+def apply_calibration(
+    logits: np.ndarray, calibration: Dict[str, object]
+) -> np.ndarray:
+    """[num, N+1] logits → temperature-scaled logits (float32, host-side).
+
+    The scaled logits feed the unchanged sigmoid decision rule; dividing
+    before the sigmoid keeps the whole serving contract (thresholding,
+    smoothing, percentage means) untouched.
+    """
+    temps = np.asarray(calibration["temperatures"], np.float32)
+    z = np.asarray(logits, np.float32)
+    if z.ndim != 2 or temps.shape != (z.shape[1],):
+        raise ValueError(f"logits {z.shape} vs temperatures {temps.shape}")
+    return (z / temps).astype(np.float32)

@@ -249,6 +249,11 @@ class InferenceConfig:
     # (inference_runner.py:293-349); rounding (3 dp times, 2 dp percentages)
     # is an opt-in cosmetic extension, off by default for byte-faithful JSON.
     round_floats: bool = False
+    # Apply checkpoint-carried temperature calibration (utils/calibration.py)
+    # when present. No-op for uncalibrated checkpoints, so the default keeps
+    # reference behavior bit-identical; False forces raw sigmoids even for a
+    # calibrated checkpoint (CLI --no-calibration).
+    apply_calibration: bool = True
 
 
 @dataclass(frozen=True)
