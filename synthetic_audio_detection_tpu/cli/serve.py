@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-size", type=parse_input_size, default=512,
                    help="Spectrogram image size: 512 = reference fidelity, "
                    "256 = the fast mode (docs/PERFORMANCE.md)")
+    p.add_argument("--no-calibration", action="store_true",
+                   help="Ignore checkpoint/artifact-carried temperature "
+                   "calibration (tools/calibrate_ensemble.py); uncalibrated "
+                   "models are unaffected either way")
     return p
 
 
@@ -78,7 +82,8 @@ def main(argv=None) -> int:
         pipeline = InferencePipeline.from_artifact(
             args.artifact,
             audio=AudioConfig(overlap=args.overlap),
-            infer=InferenceConfig(threshold=args.threshold),
+            infer=InferenceConfig(threshold=args.threshold,
+                                  apply_calibration=not args.no_calibration),
         )
         source = args.artifact
     else:
@@ -95,7 +100,8 @@ def main(argv=None) -> int:
             audio=AudioConfig(overlap=args.overlap),
             spec=SpectrogramConfig.inference(out_size=args.input_size),
             infer=InferenceConfig(threshold=args.threshold,
-                                  batch_size=args.batch_size),
+                                  batch_size=args.batch_size,
+                                  apply_calibration=not args.no_calibration),
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
         source = args.merged_model
