@@ -71,6 +71,7 @@ def bench_config(
     mel_wpc: int = 1,
     mel_stack: bool = False,
     mel_factored: bool = False,
+    mel_lowp: bool = False,
     dft_mode: str = "",
     trunk_stages: int = 0,
 ) -> dict:
@@ -97,7 +98,8 @@ def bench_config(
         def fwd(_, windows):
             if use_pallas and mel_factored:
                 z = fused_log_mel_factored(windows, spec, 32_000,
-                                           windows_per_cell=mel_wpc)
+                                           windows_per_cell=mel_wpc,
+                                           lowp_tail=mel_lowp)
             elif use_pallas:
                 z = fused_log_mel(windows, spec, 32_000,
                                   windows_per_cell=mel_wpc,
@@ -147,7 +149,7 @@ def bench_config(
 
         def fwd(variables, windows):
             if use_pallas:
-                z = serving_log_mel(windows, spec, 32_000)
+                z = serving_log_mel(windows, spec, 32_000, lowp_tail=mel_lowp)
             else:
                 z = M.standardize(M.amplitude_to_db(
                     M.mel_spectrogram(windows, spec, 32_000, True), spec.top_db))
@@ -364,6 +366,16 @@ PRESETS = {
     "melfct8": dict(batch=128, heads=1, input_size=0, dtype="bf16",
                     use_pallas=True, shared_backbone=True, melonly=True,
                     mel_factored=True, mel_wpc=8),
+    # low-precision tail: bf16 power→mel matmul (one MXU pass vs f32's
+    # bf16x3) + bf16 output write
+    "melfct4-lowp": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                         use_pallas=True, shared_backbone=True, melonly=True,
+                         mel_factored=True, mel_wpc=4, mel_lowp=True),
+    "fastpath-mono-native-lowp": dict(batch=128, heads=6, input_size=0,
+                                      dtype="bf16", use_pallas=True,
+                                      shared_backbone=True,
+                                      fastpath_plain=True, mono=True,
+                                      mel_lowp=True),
     # factored DFT through plain XLA (no Pallas) — fusion/HBM A/B
     "melonly-native-fct-jnp": dict(batch=128, heads=1, input_size=0,
                                    dtype="bf16", use_pallas=False,

@@ -185,6 +185,7 @@ def _factored_kernel(
     b_zero: tuple = (),
     a_one: tuple = (),
     standardize: bool = True,
+    lowp_tail: bool = False,
 ):
     """Factored (shared hop-block) GEMM-DFT mel kernel.
 
@@ -209,13 +210,13 @@ def _factored_kernel(
         if not standardize:
             # dB-only mode (training front end: SpecAugment masks the dB
             # spectrogram BEFORE standardization, submodel_trainer.py:194-199)
-            out_ref[w, :, :] = jnp.where(valid, db, 0.0)
+            out_ref[w, :, :] = jnp.where(valid, db, 0.0).astype(out_ref.dtype)
             return
         n_valid = n_frames * n_mels
         mean = jnp.sum(jnp.where(valid, db, 0.0)) / n_valid
         var = jnp.sum(jnp.where(valid, (db - mean) ** 2, 0.0)) / max(n_valid - 1, 1)
         z = (db - mean) / (jnp.sqrt(var) + eps)
-        out_ref[w, :, :] = jnp.where(valid, z, 0.0)
+        out_ref[w, :, :] = jnp.where(valid, z, 0.0).astype(out_ref.dtype)
 
     for w in range(wpc):
         x = wave_ref[w, :, :]
@@ -253,7 +254,17 @@ def _factored_kernel(
         w_re = 0.5 * x_re - 0.25 * (r_re + l_re)
         w_im = 0.5 * x_im - 0.25 * (r_im + l_im)
         power = w_re * w_re + w_im * w_im            # [f_pad, n_bins]
-        mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
+        if lowp_tail:
+            # bf16 mel matmul (f32 accumulate): one MXU pass instead of the
+            # bf16x3 decomposition XLA uses for an f32 dot. Power values span
+            # a huge range but each mel bin sums same-sign terms, so bf16's
+            # ~3 decimal digits bound the RELATIVE bin error (~0.4%), which
+            # the subsequent log10 turns into <~0.02 dB absolute — below the
+            # bf16 model's own input-rounding noise.
+            mel = jnp.dot(power.astype(jnp.bfloat16), fb_ref[:, :],
+                          preferred_element_type=jnp.float32)
+        else:
+            mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
         standardize_to(mel, w)
 
 
@@ -264,6 +275,7 @@ def fused_log_mel_factored(
     interpret: bool = False,
     windows_per_cell: int = 4,
     standardize: bool = True,
+    lowp_tail: bool = False,
 ) -> jnp.ndarray:
     """Factored-DFT variant of fused_log_mel: same output (float tolerance),
     ~4× fewer DFT MACs. See _factored_kernel.
@@ -274,7 +286,12 @@ def fused_log_mel_factored(
 
     standardize=False stops at the clamped dB spectrogram (no per-spectrogram
     mean/std) — the training front end's seam, where SpecAugment masks the dB
-    values before standardization."""
+    values before standardization.
+
+    lowp_tail=True runs the power→mel matmul in bf16 (one MXU pass instead
+    of f32's bf16x3 decomposition) and returns bf16 (halves the output
+    write). The DFT matmul is bf16 either way; only use with a bf16
+    consumer — z-scores round to ~3 decimal digits."""
     B, T = waveforms.shape
     if B % windows_per_cell != 0:
         windows_per_cell = 1
@@ -301,7 +318,8 @@ def fused_log_mel_factored(
 
     fb_p = np.zeros((n_bins, mels_pad), np.float32)
     fb_p[:n_sig, : cfg.n_mels] = fb[:n_sig]
-    fb_j = jnp.asarray(fb_p)
+    fb_j = jnp.asarray(fb_p, jnp.bfloat16 if lowp_tail else jnp.float32)
+    out_dtype = jnp.bfloat16 if lowp_tail else jnp.float32
 
     x = jnp.pad(waveforms, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
     if tail:
@@ -323,6 +341,7 @@ def fused_log_mel_factored(
         b_zero=b_zero,
         a_one=a_one,
         standardize=standardize,
+        lowp_tail=lowp_tail,
     )
     out = pl.pallas_call(
         kernel,
@@ -339,7 +358,7 @@ def fused_log_mel_factored(
         ],
         out_specs=pl.BlockSpec((wpc, f_pad, mels_pad), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, f_pad, mels_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, f_pad, mels_pad), out_dtype),
         interpret=interpret,
     )(x, cs, ab, fb_j)
 
@@ -351,13 +370,14 @@ def serving_log_mel(
     cfg: SpectrogramConfig,
     sample_rate: int = 32_000,
     interpret: bool = False,
+    lowp_tail: bool = False,
 ) -> jnp.ndarray:
     """The serving pipelines' mel kernel: the measured-best fused variant
     (currently the factored-DFT kernel at its default wpc). One symbol so
     infer/pipeline.py, bench.py, and the benchmark fastpath configs all move
     together when the measured winner changes."""
     return fused_log_mel_factored(waveforms, cfg, sample_rate,
-                                  interpret=interpret)
+                                  interpret=interpret, lowp_tail=lowp_tail)
 
 
 def fused_log_mel(

@@ -112,6 +112,35 @@ def test_fused_kernel_windows_per_cell_parity(rng):
         np.testing.assert_array_equal(got, base)
 
 
+def test_factored_kernel_lowp_tail_parity(rng):
+    """lowp_tail=True (bf16 power→mel matmul + bf16 output) vs the f32-tail
+    kernel: bounded by bf16 input-rounding noise. Each mel bin is a
+    same-sign sum, so bf16 bounds the RELATIVE bin error (~0.4%) and log10
+    turns it into <~0.02 dB; on standardized output that lands well inside
+    the bf16 cast noise the serving model already sees."""
+    cfg = SpectrogramConfig(mel_norm="slaney", out_size=0)
+    x = (rng.standard_normal((4, 128_000)) * 0.3).astype(np.float32)
+    base = np.asarray(fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True))
+    got = fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True,
+                                 lowp_tail=True)
+    assert got.dtype == jnp.bfloat16
+    got = np.asarray(got, np.float32)
+    assert got.shape == base.shape
+    # z-scores are O(1); bf16 eps ~ 0.0078/2 absolute at |z|<=1, plus the
+    # matmul rounding — budget 0.05 abs worst-case, 0.005 mean
+    np.testing.assert_allclose(got, base, atol=0.05)
+    assert float(np.mean(np.abs(got - base))) < 5e-3
+    # wpc packing: different unrolled programs may round the final bf16
+    # cast differently at the last ulp (observed 4/128512 elements); a
+    # one-bf16-ulp budget, not bit equality, is the contract in lowp mode
+    for wpc in (2, 4):
+        again = np.asarray(
+            fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True,
+                                   lowp_tail=True, windows_per_cell=wpc),
+            np.float32)
+        np.testing.assert_allclose(again, got, rtol=2 ** -7, atol=2 ** -9)
+
+
 def test_factored_kernel_db_only_mode(rng):
     """standardize=False stops at the clamped dB spectrogram — the training
     front end's seam (SpecAugment masks dB before standardization,
