@@ -36,11 +36,18 @@ class WavFormatError(ValueError):
     pass
 
 
+def _trim(raw: bytes, itemsize: int) -> bytes:
+    """Drop a trailing partial sample (file truncated mid-sample) so
+    np.frombuffer decodes the whole frames — the native parser's
+    floor-to-frame-count semantics (native/sadio.cpp frame_count)."""
+    return raw[: len(raw) - len(raw) % itemsize]
+
+
 def _decode_pcm(raw: bytes, bits: int, channels: int) -> np.ndarray:
     if bits == 16:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        x = np.frombuffer(_trim(raw, 2), dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 32:
-        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        x = np.frombuffer(_trim(raw, 4), dtype="<i4").astype(np.float32) / 2147483648.0
     elif bits == 24:
         b = np.frombuffer(raw, dtype=np.uint8)
         n = len(b) // 3
@@ -63,9 +70,9 @@ def _decode_pcm(raw: bytes, bits: int, channels: int) -> np.ndarray:
 
 def _decode_float(raw: bytes, bits: int, channels: int) -> np.ndarray:
     if bits == 32:
-        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        x = np.frombuffer(_trim(raw, 4), dtype="<f4").astype(np.float32)
     elif bits == 64:
-        x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        x = np.frombuffer(_trim(raw, 8), dtype="<f8").astype(np.float32)
     else:
         raise WavFormatError(f"unsupported float bit depth: {bits}")
     n = len(x) // channels
@@ -85,10 +92,14 @@ def read_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         (csize,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + csize]
         if cid == _FMT:
-            if csize < 16:
+            # A declared csize larger than the remaining bytes clamps to the
+            # slice length (same semantics as the native parser,
+            # native/sadio.cpp parse_wav) so truncated files fail with
+            # WavFormatError, not struct.error.
+            if len(body) < 16:
                 raise WavFormatError("fmt chunk too small")
             tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if tag == _FMT_EXTENSIBLE and csize >= 40:
+            if tag == _FMT_EXTENSIBLE and len(body) >= 40:
                 # SubFormat GUID's first 2 bytes carry the real format tag
                 (tag,) = struct.unpack_from("<H", body, 24)
             fmt = (tag, channels, rate, bits)
