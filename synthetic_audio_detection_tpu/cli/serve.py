@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "requests before dispatching an idle-device batch "
                    "(0 = drain-and-go; the device's own execution time "
                    "already accumulates the next burst)")
+    p.add_argument("--stream-ttl", type=float, default=300.0,
+                   help="live /stream sessions: evict after this many "
+                   "seconds idle")
+    p.add_argument("--max-streams", type=int, default=32,
+                   help="max concurrent live /stream sessions (429 beyond)")
     from synthetic_audio_detection_tpu.utils.config import parse_input_size
 
     p.add_argument("--input-size", type=parse_input_size, default=512,
@@ -108,7 +113,9 @@ def main(argv=None) -> int:
     server = serve(pipeline, args.host, args.port,
                    warmup=not args.no_warmup,
                    micro_batch=not args.no_micro_batch,
-                   linger_ms=args.linger_ms)
+                   linger_ms=args.linger_ms,
+                   stream_ttl=args.stream_ttl,
+                   max_streams=args.max_streams)
     logging.info("serving %s on http://%s:%d (classes: %s)",
                  source, args.host, args.port,
                  pipeline.ensemble.class_names)

@@ -23,6 +23,20 @@ API:
                                out through the micro-batcher so one request's
                                clips share device batches; a bad file yields
                                {"error": ...} for that name only
+    POST /stream/start       → query: ?source_rate=44100 (default: pipeline
+                               rate). Opens a live session (infer/streaming.py)
+                               → {"stream_id": ...}
+    POST /stream/<id>/feed   → body: raw PCM chunk (mono little-endian;
+                               ?dtype=int16 default, or float32)
+                               → {"windows": [{start_sec, end_sec, label,
+                               probs}...]} — the verdicts of every analysis
+                               window this chunk completed (live view;
+                               smoothing is whole-stream, so finalize only)
+    POST /stream/<id>/finalize → flush + whole-stream reference JSON
+                               (?smooth=1); closes the session
+    POST /stream/<id>/abort  → drop the session
+                               Idle sessions evict after --stream-ttl (300 s);
+                               at most 32 concurrent streams (429 beyond).
 
 Start:  python -m synthetic_audio_detection_tpu.cli.serve \
             --merged-model merged.pth --port 8321 [--bf16]
@@ -58,7 +72,8 @@ class ServingState:
     plain lock (it runs a different program shape)."""
 
     def __init__(self, pipeline: InferencePipeline,
-                 micro_batch: bool = True, linger_ms: float = 0.0):
+                 micro_batch: bool = True, linger_ms: float = 0.0,
+                 stream_ttl: float = 300.0, max_streams: int = 32):
         self.pipeline = pipeline
         self.lock = threading.Lock()
         self.batcher: Optional[MicroBatcher] = None
@@ -72,6 +87,77 @@ class ServingState:
                 max_windows=pipeline.infer.batch_size,
                 linger_ms=linger_ms,
             )
+        # live streaming sessions: id → (analyzer, session lock, last touch)
+        self.streams: Dict[str, list] = {}
+        self.streams_lock = threading.Lock()
+        self.stream_ttl = stream_ttl
+        self.max_streams = max_streams
+
+    # ------------------------------------------------------------------
+    # live streaming sessions (infer/streaming.py behind the same warm
+    # pipeline; device work rides the micro-batcher when enabled so
+    # concurrent streams share batches)
+    def stream_start(self, source_rate: Optional[int]) -> str:
+        import time
+        import uuid
+
+        from synthetic_audio_detection_tpu.infer.streaming import (
+            StreamingAnalyzer,
+        )
+
+        with self.streams_lock:
+            now = time.monotonic()
+            for sid in [s for s, v in self.streams.items()
+                        if now - v[2] > self.stream_ttl]:
+                del self.streams[sid]
+            if len(self.streams) >= self.max_streams:
+                raise OverflowError(
+                    f"too many concurrent streams (max {self.max_streams})")
+            if self.batcher is not None:
+                fwd = self.batcher.logits
+            else:
+                def fwd(windows):
+                    with self.lock:
+                        return self.pipeline.logits_for_windows(windows)
+            sa = StreamingAnalyzer(self.pipeline, source_rate=source_rate,
+                                   logits_fn=fwd)
+            sid = uuid.uuid4().hex[:16]
+            self.streams[sid] = [sa, threading.Lock(), now]
+            return sid
+
+    def _stream(self, sid: str) -> list:
+        import time
+
+        with self.streams_lock:
+            entry = self.streams.get(sid)
+            if entry is None:
+                raise KeyError(f"unknown stream {sid}")
+            entry[2] = time.monotonic()
+            return entry
+
+    def stream_feed(self, sid: str, chunk: np.ndarray) -> list:
+        sa, slock, _ = self._stream(sid)
+        with slock:  # feeds to one session are ordered
+            verdicts = sa.feed(chunk)
+        return [
+            {"start_sec": v["start_sec"], "end_sec": v["end_sec"],
+             "label": v["label"],
+             "probs": [round(float(p), 6) for p in v["probs"]]}
+            for v in verdicts
+        ]
+
+    def stream_finalize(self, sid: str, smooth: bool) -> Dict[str, Any]:
+        sa, slock, _ = self._stream(sid)
+        with slock:
+            result = sa.finalize(smooth=smooth)
+        with self.streams_lock:
+            self.streams.pop(sid, None)
+        return result
+
+    def stream_abort(self, sid: str) -> None:
+        with self.streams_lock:
+            if self.streams.pop(sid, None) is None:
+                raise KeyError(f"unknown stream {sid}")
 
     def analyze_wav_bytes(self, data: bytes, smooth: bool,
                           per_head: bool = False) -> Dict[str, Any]:
@@ -188,8 +274,41 @@ def make_handler(state: ServingState):
                             except Exception as e:  # noqa: BLE001
                                 results[name] = {"error": str(e)}
                     self._send(200, {"results": results})
+                elif parsed.path.startswith("/stream/"):
+                    q = parse_qs(parsed.query)
+                    parts = parsed.path.split("/")[2:]  # after /stream/
+                    if parts == ["start"]:
+                        rate = q.get("source_rate", [None])[0]
+                        sid = state.stream_start(
+                            int(rate) if rate else None)
+                        self._send(200, {"stream_id": sid})
+                    elif len(parts) == 2 and parts[1] == "feed":
+                        dtype = q.get("dtype", ["int16"])[0]
+                        if dtype == "int16":
+                            chunk = np.frombuffer(data, "<i2").astype(
+                                np.float32) / 32768.0
+                        elif dtype == "float32":
+                            chunk = np.frombuffer(data, "<f4").astype(
+                                np.float32)
+                        else:
+                            raise ValueError(f"unsupported dtype {dtype}")
+                        self._send(200, {
+                            "windows": state.stream_feed(parts[0], chunk)})
+                    elif len(parts) == 2 and parts[1] == "finalize":
+                        smooth = q.get("smooth", ["0"])[0] in ("1", "true")
+                        self._send(200, state.stream_finalize(
+                            parts[0], smooth))
+                    elif len(parts) == 2 and parts[1] == "abort":
+                        state.stream_abort(parts[0])
+                        self._send(200, {"status": "aborted"})
+                    else:
+                        self._send(404, {"error": "not found"})
                 else:
                     self._send(404, {"error": "not found"})
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
+            except OverflowError as e:
+                self._send(429, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 - per-request isolation
                 self._send(400, {"error": str(e)})
 
@@ -203,10 +322,13 @@ def serve(
     warmup: bool = True,
     micro_batch: bool = True,
     linger_ms: float = 0.0,
+    stream_ttl: float = 300.0,
+    max_streams: int = 32,
 ) -> ThreadingHTTPServer:
     """Create (and return) the server; caller runs serve_forever()."""
     state = ServingState(pipeline, micro_batch=micro_batch,
-                         linger_ms=linger_ms)
+                         linger_ms=linger_ms, stream_ttl=stream_ttl,
+                         max_streams=max_streams)
     if warmup:
         state.warmup()
     srv = ThreadingHTTPServer((host, port), make_handler(state))

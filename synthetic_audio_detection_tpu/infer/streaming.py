@@ -116,8 +116,17 @@ class StreamingAnalyzer:
     preprocess_waveform included).
     """
 
-    def __init__(self, pipeline: Any, source_rate: Optional[int] = None):
+    def __init__(
+        self,
+        pipeline: Any,
+        source_rate: Optional[int] = None,
+        logits_fn: Optional[Any] = None,
+    ):
+        """``logits_fn`` overrides the forward (windows → logits) — e.g. the
+        serving daemon injects its micro-batcher so concurrent streams share
+        device batches; defaults to ``pipeline.logits_for_windows``."""
         self._p = pipeline
+        self._logits_fn = logits_fn
         audio = pipeline.audio
         self._sr = audio.sample_rate
         self._win = audio.window_samples
@@ -158,7 +167,8 @@ class StreamingAnalyzer:
         if not chunks:
             return []
         windows = np.stack(chunks).astype(np.float32)
-        logits = np.asarray(self._p.logits_for_windows(windows), np.float32)
+        fwd = self._logits_fn or self._p.logits_for_windows
+        logits = np.asarray(fwd(windows), np.float32)
         # store RAW logits — finalize hands them to analyze_windows, which
         # applies the pipeline's calibration itself; the live verdicts below
         # calibrate their own local copy so both views agree

@@ -180,3 +180,64 @@ def test_concurrent_requests_coalesce_and_match_sequential(server_url):
                [s["label"] for s in seq["segments"]]
         for cls, pct in seq["percentages"].items():
             assert con["percentages"][cls] == pytest.approx(pct, abs=1e-3)
+
+
+def _post(url, data=b"", timeout=120):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_stream_lifecycle_matches_analyze(server_url):
+    """start → int16 chunked feeds → finalize == /analyze of the same audio."""
+    wav = _wav_bytes(9.0)
+    want = _post(f"{server_url}/analyze?filename=s.wav", wav)
+
+    sid = _post(f"{server_url}/stream/start")["stream_id"]
+    wf, sr = wavio.read_wav_bytes(wav)
+    pcm = wavio.pcm16_quantize(wf.mean(axis=0))
+    live = []
+    rng = np.random.default_rng(6)
+    pos = 0
+    while pos < len(pcm):
+        n = int(rng.integers(10_000, 120_000))
+        body = pcm[pos : pos + n].tobytes()
+        pos += n
+        live.extend(_post(f"{server_url}/stream/{sid}/feed", body)["windows"])
+    got = _post(f"{server_url}/stream/{sid}/finalize")
+    # int16 transport quantizes the waveform once (the file was PCM_16, so
+    # values are exact) → identical windows → identical result
+    assert [s["label"] for s in got["segments"]] == \
+        [s["label"] for s in want["segments"]]
+    assert [v["label"] for v in live] == [s["label"] for s in want["segments"]]
+    for k, v in want["percentages"].items():
+        assert abs(got["percentages"][k] - v) < 1e-6
+    # the session is gone now
+    req = urllib.request.Request(
+        f"{server_url}/stream/{sid}/feed", data=b"\x00\x00", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 404
+
+
+def test_stream_source_rate_and_abort(server_url):
+    sid = _post(f"{server_url}/stream/start?source_rate=16000")["stream_id"]
+    rng = np.random.default_rng(7)
+    chunk = (rng.standard_normal(16_000) * 0.3).astype(np.float32).tobytes()
+    out = _post(f"{server_url}/stream/{sid}/feed?dtype=float32", chunk)
+    assert out["windows"] == []  # 1 s in — no window complete yet
+    assert _post(f"{server_url}/stream/{sid}/abort")["status"] == "aborted"
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{server_url}/stream/{sid}/finalize")
+    assert exc.value.code == 404
+
+
+def test_stream_bad_dtype_and_unknown_session(server_url):
+    sid = _post(f"{server_url}/stream/start")["stream_id"]
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{server_url}/stream/{sid}/feed?dtype=int8", b"\x00")
+    assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{server_url}/stream/nope/finalize")
+    assert exc.value.code == 404
+    _post(f"{server_url}/stream/{sid}/abort")
