@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "the shared trunk (0 = fully shared backbone; 1 = each "
                    "head owns its layer4 — the same specialization capacity "
                    "as a sequential per-head run under the freeze schedule)")
+    p.add_argument("--hard-negatives", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Default: each head's negatives are Real AND every "
+                   "other class. --no-hard-negatives restores the "
+                   "reference's plain-OvR regime (loss masked to Real + own "
+                   "class; submodel_trainer.py:463-511) — better attribution "
+                   "needs hard negatives, novel-generator recall may prefer "
+                   "plain OvR (docs/PERFORMANCE.md generalization study)")
     return p
 
 
@@ -111,6 +119,7 @@ def main(argv=None) -> int:
         spec_cfg=spec_cfg,
         log_dir=args.log_dir or None,
         per_head_stages=args.per_head_stages,
+        hard_negatives=args.hard_negatives,
     )
     best = trainer.fit()
     print(f"Best ensemble validation accuracy: {best:.4f}")

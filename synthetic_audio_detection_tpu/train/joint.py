@@ -175,6 +175,24 @@ def init_joint_state(
     return state, tx
 
 
+def per_head_own_mask(
+    labels: jnp.ndarray, num_heads: int, weights: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """[N, B] 0/1: head i sees only Real and its own class — the reference's
+    per-head data regime (each submodel_trainer run loads ONLY Class0+Class1
+    folders, submodel_trainer.py:463-511), as a loss-level mask. Combined
+    with the batch pad mask when present. NOTE: BN batch statistics still
+    see every row (the joint trainer shares one forward); the loss masking
+    removes the hard-negative LABEL pressure, which is the behavioral
+    difference between the two recipes."""
+    heads = jnp.arange(1, num_heads + 1, dtype=labels.dtype)[:, None]
+    own = (labels[None, :] == 0) | (labels[None, :] == heads)
+    w = own.astype(jnp.float32)
+    if weights is not None:
+        w = w * weights.astype(jnp.float32)[None, :]
+    return w
+
+
 def per_head_binary_labels(labels: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """Corpus label c ∈ {0=Real, 1..N=synthetic class i} → [N, B] binary
     targets: head i's positive (=1=SYNTHETIC_INDEX) iff c == i+1; Real and
@@ -233,8 +251,13 @@ def make_joint_train_step(
     dft_mode: Optional[str] = None,
     dtype: Any = jnp.float32,
     per_head_stages: int = 0,
+    hard_negatives: bool = True,
 ) -> Callable:
     """joint_step(state, batch, rng) -> (state, metrics).
+
+    hard_negatives=False restores the reference's plain-OvR regime via
+    per_head_own_mask: each head's loss sees only Real + its own class
+    (other generators neither positive nor negative for it).
 
     batch: {'audio': [B, T] (or int16 PCM transport), 'label': [B] int32 in
     0..N, optional 'weight': [B] 0/1 pad mask}. One XLA program: device mel →
@@ -264,6 +287,8 @@ def make_joint_train_step(
         labels = batch["label"]
         weights = batch.get("weight")
         y_nb = per_head_binary_labels(labels, num_heads)  # [N, B]
+        w_nb = (None if hard_negatives
+                else per_head_own_mask(labels, num_heads, weights))
         drop_rngs = jax.random.split(rng_drop, num_heads)
 
         def loss_fn(params):
@@ -279,9 +304,14 @@ def make_joint_train_step(
                 head, params["heads"], state.batch_stats["heads"], feats,
                 drop_rngs, tail=tail,
             )
-            per_head = jax.vmap(steps.cross_entropy, in_axes=(0, 0, None))(
-                logits_nb, y_nb, weights
-            )  # [N]
+            if w_nb is None:
+                per_head = jax.vmap(steps.cross_entropy, in_axes=(0, 0, None))(
+                    logits_nb, y_nb, weights
+                )  # [N]
+            else:
+                per_head = jax.vmap(steps.cross_entropy, in_axes=(0, 0, 0))(
+                    logits_nb, y_nb, w_nb
+                )  # [N]
             loss = per_head.mean()
             new_stats = {"base": mutated["batch_stats"], "heads": new_head_stats}
             return loss, (logits_nb, per_head, new_stats)
@@ -311,7 +341,9 @@ def make_joint_train_step(
 
         new_state = jax.lax.cond(ok, commit, skip, None)
         correct = (jnp.argmax(logits_nb, -1) == y_nb).astype(jnp.float32)  # [N, B]
-        if weights is not None:
+        if w_nb is not None:
+            acc = (correct * w_nb).sum(1) / jnp.maximum(w_nb.sum(1), 1.0)
+        elif weights is not None:
             w = weights.astype(jnp.float32)
             acc = (correct * w[None, :]).sum(1) / jnp.maximum(w.sum(), 1.0)
         else:
@@ -336,6 +368,7 @@ def make_joint_eval_step(
     dft_mode: Optional[str] = None,
     dtype: Any = jnp.float32,
     per_head_stages: int = 0,
+    hard_negatives: bool = True,
 ) -> Callable:
     """eval_step(state_vars, batch) → per-head sufficient statistics AND the
     ensemble verdict in one program: per-head [N,2,2] confusion, per-head
@@ -387,15 +420,20 @@ def make_joint_eval_step(
             variables["params"]["heads"], variables["batch_stats"]["heads"]
         )  # [N, B, 2]
         y_nb = per_head_binary_labels(labels, num_heads)
+        # per-head statistics over that head's OWN evaluation set: all rows
+        # in hard-negative mode, only Real + its class in plain-OvR mode
+        # (matching what each regime's loss optimizes)
+        w_nb = (jnp.broadcast_to(w[None, :], y_nb.shape) if hard_negatives
+                else per_head_own_mask(labels, num_heads, weights))
         logp = jax.nn.log_softmax(logits_nb.astype(jnp.float32), -1)
         nll = -jnp.take_along_axis(logp, y_nb[..., None], -1)[..., 0]  # [N, B]
-        loss_sum = (nll * w[None, :]).sum(1)  # [N]
+        loss_sum = (nll * w_nb).sum(1)  # [N]
         pred = jnp.argmax(logits_nb, -1)  # [N, B]
         conf = jnp.zeros((num_heads, 2, 2), jnp.float32)
         head_idx = jnp.broadcast_to(
             jnp.arange(num_heads)[:, None], y_nb.shape
         )
-        conf = conf.at[head_idx, y_nb, pred].add(w[None, :])
+        conf = conf.at[head_idx, y_nb, pred].add(w_nb)
 
         # ensemble verdict (aggregation + sigmoid-unanimity rule)
         agg = multihead._aggregate(logits_nb)  # [B, N+1]
@@ -443,10 +481,12 @@ class JointTrainer:
         log_dir: Optional[str] = None,
         use_mesh: bool = True,
         per_head_stages: int = 0,
+        hard_negatives: bool = True,
     ):
         if not synthetic_classes:
             raise ValueError("need at least one synthetic class")
         self.per_head_stages = per_head_stages
+        self.hard_negatives = hard_negatives
         self.cfg = cfg
         self.spec_cfg = spec_cfg or SpectrogramConfig.train()
         self.augment = augment or SpecAugmentConfig()
@@ -483,6 +523,7 @@ class JointTrainer:
         self._eval_step = jax.jit(make_joint_eval_step(
             model_name, self.spec_cfg, self.num_heads, dtype=self.dtype,
             dft_mode=self._dft_mode(), per_head_stages=per_head_stages,
+            hard_negatives=hard_negatives,
         ))
         self.writer = SummaryWriter(
             log_dir or os.path.join("runs", f"joint_{int(time.time())}")
@@ -507,6 +548,7 @@ class JointTrainer:
                 self.augment, self.num_heads,
                 stop_grad_stage=stage, dft_mode=self._dft_mode(),
                 dtype=self.dtype, per_head_stages=self.per_head_stages,
+                hard_negatives=self.hard_negatives,
             ),
             donate_argnums=(0,),
         )
@@ -684,9 +726,13 @@ class JointTrainer:
             scores.append(np.asarray(stats["det_score"], np.float32)[valid])
             is_syn.append(np.asarray(batch["label"])[valid] != 0)
         res = JointEpochResult()
-        res.val_loss = float(loss_sum.mean() / max(count, 1.0))
+        # normalize per head by ITS row count (== `count` in hard-negative
+        # mode; the head's Real+own subset in plain-OvR mode)
+        head_counts = confusion.sum(axis=(1, 2))
+        res.val_loss = float(
+            (loss_sum / np.maximum(head_counts, 1.0)).mean())
         res.per_head_acc = [
-            float(np.trace(confusion[h]) / max(count, 1.0))
+            float(np.trace(confusion[h]) / max(head_counts[h], 1.0))
             for h in range(self.num_heads)
         ]
         res.ensemble_acc = ens_correct / max(count, 1.0)

@@ -608,3 +608,73 @@ def test_joint_trainer_per_head_stages_end_to_end(tmp_path):
     for g, e in zip(jax.tree_util.tree_leaves(t2.state.params),
                     jax.tree_util.tree_leaves(t.state.params)):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+
+
+# ---------------------------------------------------------------------------
+# plain-OvR mode (hard_negatives=False): the reference's per-head data regime
+# ---------------------------------------------------------------------------
+
+def test_per_head_own_mask():
+    labels = jnp.asarray([0, 1, 2, 3, 1], jnp.int32)
+    w = joint.per_head_own_mask(labels, num_heads=3, weights=None)
+    expect = np.array(
+        [
+            [1, 1, 0, 0, 1],  # head 0 sees Real + class 1
+            [1, 0, 1, 0, 0],  # head 1 sees Real + class 2
+            [1, 0, 0, 1, 0],  # head 2 sees Real + class 3
+        ],
+        np.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(w), expect)
+    # pad mask composes in
+    pad = jnp.asarray([1, 1, 1, 1, 0], jnp.float32)
+    w = joint.per_head_own_mask(labels, num_heads=3, weights=pad)
+    expect[:, 4] = 0
+    np.testing.assert_array_equal(np.asarray(w), expect)
+
+
+def test_joint_step_plain_ovr_ignores_foreign_rows(joint_setup):
+    """Discriminating property: zeroing a FOREIGN row's weight must not move
+    a head's loss in plain-OvR mode (the row was never in its loss), but
+    must move it in hard-negative mode (the row is its negative). Forward
+    logits are weight-independent, so loss equality is exact."""
+    cfg, state, tx = joint_setup
+    augment = SpecAugmentConfig(enabled=False)
+    batch = _batch()  # labels [0, 1, 2, 1]; row 2 is foreign to head 0
+    rng = jax.random.PRNGKey(7)
+    dropped = dict(batch, weight=np.array([1, 1, 0, 1], np.float32))
+
+    def losses(hard_negatives, b):
+        step = jax.jit(joint.make_joint_train_step(
+            "resnet18", tx, cfg, SPEC64, augment, num_heads=2,
+            hard_negatives=hard_negatives,
+        ))
+        _, m = step(state, b, rng)
+        return np.asarray(m["per_head_loss"], np.float64)
+
+    ovr_full, ovr_drop = losses(False, batch), losses(False, dropped)
+    hn_full, hn_drop = losses(True, batch), losses(True, dropped)
+    # head 0 (class 1): row 2 foreign -> OvR loss unchanged, HN loss moves
+    assert ovr_full[0] == ovr_drop[0]
+    assert hn_full[0] != hn_drop[0]
+    # head 1 (class 2): row 2 is its positive -> loss moves in both modes
+    assert ovr_full[1] != ovr_drop[1]
+    assert hn_full[1] != hn_drop[1]
+    # and the two modes disagree on the full batch (hard negatives present)
+    assert not np.allclose(ovr_full, hn_full)
+
+
+def test_joint_eval_step_plain_ovr_statistics(joint_setup):
+    """Eval confusion/loss in OvR mode count only each head's Real+own rows."""
+    cfg, state, tx = joint_setup
+    ev = jax.jit(joint.make_joint_eval_step(
+        "resnet18", SPEC64, num_heads=2, hard_negatives=False))
+    batch = _batch()  # labels [0, 1, 2, 1]
+    stats = ev({"params": state.params, "batch_stats": state.batch_stats},
+               batch)
+    conf = np.asarray(stats["confusion"])
+    # head 0: rows {0,1,3}; head 1: rows {0,2}
+    assert conf[0].sum() == pytest.approx(3.0)
+    assert conf[1].sum() == pytest.approx(2.0)
+    # ensemble metrics stay whole-batch
+    assert float(stats["count"]) == pytest.approx(4.0)
