@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "class; submodel_trainer.py:463-511) — better attribution "
                    "needs hard negatives, novel-generator recall may prefer "
                    "plain OvR (docs/PERFORMANCE.md generalization study)")
+    from synthetic_audio_detection_tpu.utils.config import add_wave_augment_args
+
+    add_wave_augment_args(p)
     return p
 
 
@@ -94,6 +97,7 @@ def main(argv=None) -> int:
     from synthetic_audio_detection_tpu.utils.config import (
         SpectrogramConfig,
         TrainConfig,
+        spec_augment_from_args,
     )
 
     cfg = TrainConfig(
@@ -117,6 +121,7 @@ def main(argv=None) -> int:
         real_class=args.real_class,
         model_name=args.model_name,
         spec_cfg=spec_cfg,
+        augment=spec_augment_from_args(args),
         log_dir=args.log_dir or None,
         per_head_stages=args.per_head_stages,
         hard_negatives=args.hard_negatives,

@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "never updates layer3 (submodel_trainer.py:647-651 vs "
                    ":687-691). Default: actually train layer3 after the "
                    "unfreeze (the documented intent).")
+    from synthetic_audio_detection_tpu.utils.config import add_wave_augment_args
+
+    add_wave_augment_args(p)
     return p
 
 
@@ -173,10 +176,14 @@ def main(argv=None) -> int:
         transport_dtype=args.transport_dtype,
         reference_quirk_frozen_layer3=args.reference_quirk_frozen_layer3,
     )
-    from synthetic_audio_detection_tpu.utils.config import SpectrogramConfig
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpectrogramConfig,
+        spec_augment_from_args,
+    )
 
     spec_cfg = SpectrogramConfig(mel_norm=None, out_size=args.input_size)
     trainer = Trainer(cfg, model_name=args.model_name, spec_cfg=spec_cfg,
+                      augment=spec_augment_from_args(args),
                       log_dir=args.log_dir or None,
                       reference_quirk_loss=args.reference_quirk_loss)
     if args.evaluate:

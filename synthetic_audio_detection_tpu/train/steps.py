@@ -234,6 +234,16 @@ def _features_from_waveforms(
     the Trainer auto-selects it for bf16 training on TPU backends."""
     if jnp.issubdtype(waveforms.dtype, jnp.integer):
         waveforms = waveforms.astype(jnp.float32) / 32768.0
+    if (augment is not None and augment.enabled and augment.wave_enabled
+            and rng is not None):
+        # On-device waveform augmentation (fresh draws per step; the rng is
+        # only consumed when enabled, so disabled trajectories stay
+        # bit-identical to pre-feature builds).
+        from synthetic_audio_detection_tpu.ops import waveform_augment
+
+        rng_wave, rng = jax.random.split(rng)
+        waveforms = waveform_augment.augment_waveforms(
+            rng_wave, waveforms, augment, sample_rate)
     if dft_mode == "pallas":
         from synthetic_audio_detection_tpu.ops import pallas_melspec
 

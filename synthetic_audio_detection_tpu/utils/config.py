@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 
 @dataclass(frozen=True)
@@ -136,11 +136,64 @@ def parse_input_size(value) -> int:
 
 @dataclass(frozen=True)
 class SpecAugmentConfig:
-    """Train-time spectrogram masking (reference: submodel_trainer.py:109-114)."""
+    """Train-time augmentation policy.
+
+    Spectrogram masking follows the reference (submodel_trainer.py:109-114).
+    The ``wave_*`` fields add ON-DEVICE stochastic waveform augmentation the
+    reference has no counterpart for (its audio_augmneter.py bakes 11 fixed
+    variants into the dataset offline; these draw FRESH noise/channel
+    perturbations every step inside the jitted train program —
+    ops/waveform_augment.py). All probabilities default to 0.0, so existing
+    training trajectories are bit-identical unless explicitly enabled
+    (``--wave-augment`` on the trainer CLIs)."""
 
     freq_mask_param: int = 15
     time_mask_param: int = 35
     enabled: bool = True
+    # waveform-domain augmentation (applied pre-mel, train mode only)
+    wave_noise_prob: float = 0.0       # P(add white noise) per example
+    wave_snr_db: Tuple[float, float] = (5.0, 30.0)
+    wave_lowpass_prob: float = 0.0     # P(random low-pass channel) per example
+    wave_lowpass_hz: Tuple[float, float] = (4000.0, 15000.0)
+    wave_taps: int = 63                # FIR length (odd)
+
+    @property
+    def wave_enabled(self) -> bool:
+        return self.wave_noise_prob > 0.0 or self.wave_lowpass_prob > 0.0
+
+
+def add_wave_augment_args(p) -> None:
+    """Shared trainer-CLI flags for on-device waveform augmentation
+    (submodel_trainer and ensemble_trainer; consumed by
+    spec_augment_from_args)."""
+    g = p.add_argument_group("waveform augmentation (train-time, on device)")
+    g.add_argument("--wave-augment", action="store_true",
+                   help="Enable fresh per-step waveform augmentation inside "
+                   "the jitted train step: additive white noise at a random "
+                   "SNR and a random low-pass channel (generalization lever; "
+                   "ops/waveform_augment.py)")
+    g.add_argument("--wave-noise-prob", type=float, default=0.5,
+                   help="P(add noise) per example (with --wave-augment)")
+    g.add_argument("--wave-snr-db", nargs=2, type=float, default=[5.0, 30.0],
+                   metavar=("MIN", "MAX"), help="Noise SNR range in dB")
+    g.add_argument("--wave-lowpass-prob", type=float, default=0.25,
+                   help="P(low-pass channel) per example (with --wave-augment)")
+    g.add_argument("--wave-lowpass-hz", nargs=2, type=float,
+                   default=[4000.0, 15000.0], metavar=("MIN", "MAX"),
+                   help="Low-pass cutoff range in Hz")
+
+
+def spec_augment_from_args(args) -> SpecAugmentConfig:
+    """SpecAugmentConfig from trainer-CLI args: reference masking defaults,
+    plus the waveform fields when --wave-augment is set."""
+    if not getattr(args, "wave_augment", False):
+        return SpecAugmentConfig()
+    return SpecAugmentConfig(
+        wave_noise_prob=args.wave_noise_prob,
+        wave_snr_db=tuple(args.wave_snr_db),
+        wave_lowpass_prob=args.wave_lowpass_prob,
+        wave_lowpass_hz=tuple(args.wave_lowpass_hz),
+    )
 
 
 @dataclass(frozen=True)
