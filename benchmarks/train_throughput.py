@@ -53,6 +53,9 @@ def main() -> None:
                    help="with --joint: trailing ResNet stages trained PER "
                    "HEAD on the shared trunk (train/joint.py; 1 = per-head "
                    "layer4)")
+    p.add_argument("--wave-augment", action="store_true",
+                   help="measure with on-device waveform augmentation in the "
+                   "step (ops/waveform_augment.py, CLI defaults)")
     args = p.parse_args()
 
     from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
@@ -105,19 +108,23 @@ def main() -> None:
         "weight": jnp.ones(args.batch, jnp.float32),
     }
 
+    aug = SpecAugmentConfig(
+        wave_noise_prob=0.5, wave_lowpass_prob=0.25,
+    ) if args.wave_augment else SpecAugmentConfig()
+
     for dft_mode in args.dft_mode:
         if args.joint:
             from synthetic_audio_detection_tpu.train import joint
 
             train_step = joint.make_joint_train_step(
-                args.backbone, tx, cfg, spec, SpecAugmentConfig(),
+                args.backbone, tx, cfg, spec, aug,
                 num_heads=args.joint, stop_grad_stage=args.stop_grad,
                 dft_mode=dft_mode or None, dtype=jnp.bfloat16,
                 per_head_stages=args.per_head_stages,
             )
         else:
             train_step = steps.make_train_step(
-                model, tx, cfg, spec, SpecAugmentConfig(),
+                model, tx, cfg, spec, aug,
                 stop_grad_stage=args.stop_grad,
                 dft_mode=dft_mode or None,
             )
@@ -163,6 +170,7 @@ def main() -> None:
             "per_head_stages": args.per_head_stages,
             "stop_grad": args.stop_grad,
             "dft_mode": dft_mode or "default",
+            "wave_augment": args.wave_augment,
             "batch_rows": args.batch,
             "input_size": args.input_size,
             "ms_per_step": round(per_step * 1e3, 2),
