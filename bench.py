@@ -150,54 +150,108 @@ def _measure_mode(mode: str) -> float:
     return _measure_config(ens, out_size, on_tpu, iters=iters)
 
 
-def _measure_mode_fresh_process(mode: str) -> float:
-    """Re-measure a mode in a FRESH interpreter. Same-process multi-MODE
-    timing sequences are contaminated on this rig (readings after the first
-    program can run ~2× fast — CLAUDE.md's twice-confirmed rule), so the
-    secondary fidelity figures each get their own process; the persistent
+# 45 min: covers a cold remote compile of the biggest program (2-10 min per
+# shape through the tunnel) with wide margin, but bounds the tunnel's
+# observed HANG mode (fetches freeze forever — seen 2026-08-17, -19 ×2):
+# without it the driver's round-end bench would never return.
+MODE_TIMEOUT_SECS = 2700.0
+
+
+def _measure_mode_fresh_process(mode: str,
+                                timeout: float = MODE_TIMEOUT_SECS) -> float:
+    """Measure a mode in a FRESH interpreter under a hang watchdog.
+
+    Fresh process for two reasons: (a) same-process multi-MODE timing
+    sequences are contaminated on this rig (readings after the first program
+    can run ~2× fast — CLAUDE.md's twice-confirmed rule), so every quotable
+    figure gets first-position semantics; (b) the subprocess is the hang
+    boundary — when the tunnel enters its hang mode the child freezes, the
+    timeout kills it, and the parent (which never touches a JAX backend in
+    orchestration mode) survives to report what it has. The persistent
     compile cache keeps the repeat compile cost at zero."""
     import subprocess
     import sys
 
     res = subprocess.run(
         [sys.executable, __file__, "--mode", mode],
-        capture_output=True, text=True, timeout=3600, check=True,
+        capture_output=True, text=True, timeout=timeout, check=True,
     )
     return float(res.stdout.strip().splitlines()[-1])
 
 
-def main(mode: str = "") -> None:
-    _enable_compile_cache()
-    if mode:  # subprocess entry: print one mode's bare figure
-        print(_measure_mode(mode))
-        return
+def _zero_line() -> dict:
+    """The honest failure line: the driver records a number every round;
+    0.0 (not a stale or partial figure) is the unambiguous 'measurement
+    failed' marker, matching the historical `bench failed` fallback."""
+    return {
+        "metric": "4s_segments_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "segments/s",
+        "vs_baseline": 0.0,
+    }
 
-    # headline: 512² reference fidelity (meaning unchanged round over round),
-    # measured FIRST in this process per the first-position timing rule
-    headline = _measure_mode("headline")
+
+def _orchestrate(run_sub=_measure_mode_fresh_process,
+                 run_local=_measure_mode) -> dict:
+    """Assemble the one-line JSON dict. Pure orchestration — measurement is
+    injected so tests can pin the failure policy without a TPU:
+
+    - headline (512² reference fidelity, meaning unchanged round over
+      round): fresh subprocess under the watchdog, ONE retry in another
+      fresh subprocess (a cold-compile near-miss or transient tunnel error
+      deserves a second shot), zero-line on double failure. Never measured
+      in the orchestrator's own process: a tunnel hang there is unkillable.
+    - secondary fidelity modes: fresh subprocess each; on a TIMEOUT the
+      mode is skipped outright (the hang mode freezes the whole tunnel —
+      an in-process fallback would hang the parent and cost the already-
+      measured headline); on a non-timeout failure (child crash) one
+      same-process fallback is allowed, flagged `*_same_process`.
+    """
+    import subprocess
+
+    headline = None
+    for _attempt in range(2):
+        try:
+            headline = run_sub("headline")
+            break
+        except Exception:  # noqa: BLE001 - incl. TimeoutExpired
+            continue
+    if headline is None:
+        return _zero_line()
+
     out = {
         "metric": "4s_segments_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "segments/s",
         "vs_baseline": round(headline / TARGET_SEGS_PER_SEC, 4),
     }
-    # supported fidelity modes as secondary fields, each in a fresh process
-    # (see _measure_mode_fresh_process); a failure here must not cost the
-    # headline line — fall back to the same-process reading, flagged as such
     for key, m in (("fast_256_segments_per_sec", "fast"),
                    ("native_segments_per_sec", "native")):
         try:
-            out[key] = round(_measure_mode_fresh_process(m), 1)
+            out[key] = round(run_sub(m), 1)
+        except subprocess.TimeoutExpired:
+            continue  # tunnel hang: any further attempt would hang too
         except Exception:  # noqa: BLE001
             try:
-                out[key] = round(_measure_mode(m), 1)
+                out[key] = round(run_local(m), 1)
                 out[key.replace("_segments_per_sec", "_same_process")] = True
             except Exception:  # noqa: BLE001
                 pass
     if "native_segments_per_sec" in out:
         out["native_vs_baseline"] = round(
             out["native_segments_per_sec"] / TARGET_SEGS_PER_SEC, 4)
-    print(json.dumps(out))
+    return out
+
+
+def main(mode: str = "") -> None:
+    if mode:  # subprocess entry: print one mode's bare figure
+        _enable_compile_cache()
+        print(_measure_mode(mode))
+        return
+    # orchestrator: no _enable_compile_cache() here — it initializes the
+    # JAX backend, and backend init itself hangs when the tunnel is in its
+    # hang mode; only the watchdogged children may touch the device.
+    print(json.dumps(_orchestrate()))
 
 
 if __name__ == "__main__":
