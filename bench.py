@@ -150,15 +150,22 @@ def _measure_mode(mode: str) -> float:
     return _measure_config(ens, out_size, on_tpu, iters=iters)
 
 
-# 45 min: covers a cold remote compile of the biggest program (2-10 min per
-# shape through the tunnel) with wide margin, but bounds the tunnel's
-# observed HANG mode (fetches freeze forever — seen 2026-08-17, -19 ×2):
-# without it the driver's round-end bench would never return.
-MODE_TIMEOUT_SECS = 2700.0
+# Budgets (round-4 rework — BENCH_r03 was rc:124 with NO output: the old
+# 45-min per-mode watchdog + headline retry-after-timeout could spend 90+
+# minutes before printing anything, which exceeded the DRIVER's own kill
+# budget. The budget that matters is the driver's, so the orchestrator now
+# runs against a hard TOTAL deadline and prints its one JSON line with
+# whatever was measured when it expires. Per-mode watchdogs are warm-cache
+# scale: the TPU compile cache is committed to git (.jax_cache), so the
+# round-end run never pays a cold 2-10-min remote compile per shape; a warm
+# mode costs ~2-4 min (first host transfer ~100 s + timing).
+MODE_TIMEOUT_SECS = 900.0        # headline watchdog (fits one cold compile)
+SECONDARY_TIMEOUT_SECS = 600.0   # per secondary mode
+TOTAL_DEADLINE_SECS = 1500.0     # hard cap before the JSON line is emitted
+MIN_ATTEMPT_SECS = 120.0         # don't start an attempt with less than this
 
 
-def _measure_mode_fresh_process(mode: str,
-                                timeout: float = MODE_TIMEOUT_SECS) -> float:
+def _measure_mode_fresh_process(mode: str, timeout: float) -> float:
     """Measure a mode in a FRESH interpreter under a hang watchdog.
 
     Fresh process for two reasons: (a) same-process multi-MODE timing
@@ -167,16 +174,36 @@ def _measure_mode_fresh_process(mode: str,
     figure gets first-position semantics; (b) the subprocess is the hang
     boundary — when the tunnel enters its hang mode the child freezes, the
     timeout kills it, and the parent (which never touches a JAX backend in
-    orchestration mode) survives to report what it has. The persistent
-    compile cache keeps the repeat compile cost at zero."""
+    orchestration mode) survives to report what it has.
+
+    The child runs in its own session/process group and the WHOLE group is
+    SIGKILLed on timeout — subprocess.run's own kill reaps only the direct
+    child, and any helper process inheriting the stdout pipe would keep
+    communicate() blocked forever (the exact hang this watchdog exists to
+    bound)."""
+    import os
+    import signal
     import subprocess
     import sys
 
-    res = subprocess.run(
+    proc = subprocess.Popen(
         [sys.executable, __file__, "--mode", mode],
-        capture_output=True, text=True, timeout=timeout, check=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
     )
-    return float(res.stdout.strip().splitlines()[-1])
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
+        raise
+    if proc.returncode != 0:
+        raise subprocess.CalledProcessError(
+            proc.returncode, proc.args, output=stdout, stderr=stderr)
+    return float(stdout.strip().splitlines()[-1])
 
 
 def _zero_line() -> dict:
@@ -191,30 +218,50 @@ def _zero_line() -> dict:
     }
 
 
-def _orchestrate(run_sub=_measure_mode_fresh_process,
-                 run_local=_measure_mode) -> dict:
-    """Assemble the one-line JSON dict. Pure orchestration — measurement is
-    injected so tests can pin the failure policy without a TPU:
+def _orchestrate(run_sub=_measure_mode_fresh_process, clock=None) -> dict:
+    """Assemble the one-line JSON dict. Pure orchestration — measurement and
+    clock are injected so tests can pin the failure policy without a TPU:
 
+    - Hard TOTAL deadline: every attempt's watchdog is clamped to the
+      remaining budget, and no attempt starts with less than
+      MIN_ATTEMPT_SECS left — the JSON line always appears within
+      TOTAL_DEADLINE_SECS (+ one watchdog granularity), which is the budget
+      the DRIVER has.
     - headline (512² reference fidelity, meaning unchanged round over
-      round): fresh subprocess under the watchdog, ONE retry in another
-      fresh subprocess (a cold-compile near-miss or transient tunnel error
-      deserves a second shot), zero-line on double failure. Never measured
-      in the orchestrator's own process: a tunnel hang there is unkillable.
-    - secondary fidelity modes: fresh subprocess each; on a TIMEOUT the
-      mode is skipped outright (the hang mode freezes the whole tunnel —
-      an in-process fallback would hang the parent and cost the already-
-      measured headline); on a non-timeout failure (child crash) one
-      same-process fallback is allowed, flagged `*_same_process`.
+      round): fresh subprocess under the watchdog. On a TIMEOUT there is NO
+      retry — the observed hang mode freezes the whole tunnel, so a second
+      attempt would burn the rest of the budget hanging too (zero line
+      instead, immediately). On a non-timeout child crash, ONE retry in
+      another fresh subprocess (a transient error deserves a second shot).
+      Never measured in the orchestrator's own process: a tunnel hang there
+      is unkillable and loses everything.
+    - secondary fidelity modes, NATIVE FIRST (the north-star evidence —
+      under deadline pressure it must not be the mode that gets dropped):
+      fresh subprocess each; on a TIMEOUT all remaining modes are abandoned
+      (tunnel hang: any further attempt would hang too); on a child crash
+      that mode is skipped (no in-process fallback — it would be unkillable
+      AND second-position contaminated) and the next mode still runs.
     """
     import subprocess
+    import time as _time
+
+    clock = clock or _time.monotonic
+    t0 = clock()
+
+    def remaining() -> float:
+        return TOTAL_DEADLINE_SECS - (clock() - t0)
 
     headline = None
-    for _attempt in range(2):
-        try:
-            headline = run_sub("headline")
+    for attempt in range(2):
+        if remaining() < MIN_ATTEMPT_SECS:
             break
-        except Exception:  # noqa: BLE001 - incl. TimeoutExpired
+        try:
+            headline = run_sub(
+                "headline", min(MODE_TIMEOUT_SECS, remaining()))
+            break
+        except subprocess.TimeoutExpired:
+            break  # tunnel hang: a retry would hang too — fail fast
+        except Exception:  # noqa: BLE001 - child crash: one more fresh try
             continue
     if headline is None:
         return _zero_line()
@@ -225,18 +272,17 @@ def _orchestrate(run_sub=_measure_mode_fresh_process,
         "unit": "segments/s",
         "vs_baseline": round(headline / TARGET_SEGS_PER_SEC, 4),
     }
-    for key, m in (("fast_256_segments_per_sec", "fast"),
-                   ("native_segments_per_sec", "native")):
+    for key, m in (("native_segments_per_sec", "native"),
+                   ("fast_256_segments_per_sec", "fast")):
+        if remaining() < MIN_ATTEMPT_SECS:
+            break
         try:
-            out[key] = round(run_sub(m), 1)
+            out[key] = round(
+                run_sub(m, min(SECONDARY_TIMEOUT_SECS, remaining())), 1)
         except subprocess.TimeoutExpired:
-            continue  # tunnel hang: any further attempt would hang too
-        except Exception:  # noqa: BLE001
-            try:
-                out[key] = round(run_local(m), 1)
-                out[key.replace("_segments_per_sec", "_same_process")] = True
-            except Exception:  # noqa: BLE001
-                pass
+            break  # tunnel hang: any further attempt would hang too
+        except Exception:  # noqa: BLE001 - crash: skip mode, try the next
+            continue
     if "native_segments_per_sec" in out:
         out["native_vs_baseline"] = round(
             out["native_segments_per_sec"] / TARGET_SEGS_PER_SEC, 4)
