@@ -71,6 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Ignore checkpoint-carried temperature calibration "
                    "(tools/calibrate_ensemble.py) and report raw sigmoids. "
                    "Uncalibrated checkpoints are unaffected either way.")
+    p.add_argument("--syn-override-k", type=int, default=1,
+                   help="Synthetic columns that must clear their threshold "
+                   "to override a Real verdict. Default 1 = the reference's "
+                   "unanimity rule (any single strong head ⇒ not Real, "
+                   "inference_runner.py:205-213); higher K restores Real "
+                   "TNR at many heads (docs/PERFORMANCE.md LOGO study).")
+    p.add_argument("--per-column-thresholds", action="store_true",
+                   help="Use the checkpoint calibration's per-column EER "
+                   "operating points instead of the single --threshold "
+                   "(needs tools/calibrate_ensemble.py "
+                   "--store-column-thresholds).")
     return p
 
 
@@ -119,6 +130,8 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             round_floats=args.round_floats,
             apply_calibration=not args.no_calibration,
+            syn_override_k=args.syn_override_k,
+            per_column_thresholds=args.per_column_thresholds,
         ),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )

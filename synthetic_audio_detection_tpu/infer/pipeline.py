@@ -313,9 +313,36 @@ class InferencePipeline:
             use_fast_backbone=self.use_fast_backbone,
         )
         self._fwd = fwd
-        self._jit_fwd = jax.jit(fwd, donate_argnums=(1,) if donate_windows else ())
+        self._jit_fwd = self._wrap_jit(
+            fwd, donate_argnums=(1,) if donate_windows else ())
         self._jit_fwd_diag = None  # lazily built by logits_and_per_head()
         self._jit_per_head = None  # lazily built by per_head_sigmoids()
+
+    def _wrap_jit(self, fwd, out_specs=None, donate_argnums=()):
+        """jit the forward; under a pure data-parallel mesh, via shard_map.
+
+        Data-parallel serving is embarrassingly parallel — each device runs
+        the IDENTICAL single-device program on its batch shard. shard_map
+        makes that true by construction; relying on GSPMD propagation
+        instead was measured inserting full-batch all-gathers before every
+        head-stacked grouped conv of the dense ensemble (layers 2-4 ran
+        replicated, so each device redid the whole batch's work —
+        tests/test_sharded_infer.py::test_weak_scaling_program_invariance
+        pins the collective-free per-device program)."""
+        mesh = self.mesh
+        if mesh is not None:
+            from synthetic_audio_detection_tpu.parallel import sharding as sh
+
+            if mesh.shape.get(sh.MODEL_AXIS, 1) == 1:
+                from jax.sharding import PartitionSpec as P
+
+                fwd = jax.shard_map(
+                    fwd, mesh=mesh,
+                    in_specs=(P(), P(sh.DATA_AXIS)),
+                    out_specs=out_specs or P(sh.DATA_AXIS),
+                    check_vma=False,
+                )
+        return jax.jit(fwd, donate_argnums=donate_argnums)
 
     @classmethod
     def from_artifact(
@@ -386,6 +413,23 @@ class InferencePipeline:
         if (self._cal and "threshold" in self._cal
                 and self.infer.threshold == 0.5):
             self._threshold = float(self._cal["threshold"])
+        # Per-column operating points (decision-layer extension): a [N+1]
+        # threshold vector — syn columns then real — defaulting to the
+        # scalar everywhere, replaced by the calibration dict's per-column
+        # EER points when InferenceConfig.per_column_thresholds is set.
+        n_cols = self.ensemble.num_heads + 1
+        self._col_thr = np.full(n_cols, self._threshold, np.float32)
+        if self.infer.per_column_thresholds:
+            if not (self._cal and "column_thresholds" in self._cal):
+                raise ValueError(
+                    "per_column_thresholds requires a checkpoint calibrated "
+                    "with column thresholds (tools/calibrate_ensemble.py "
+                    "--store-column-thresholds)")
+            ct = np.asarray(self._cal["column_thresholds"], np.float32)
+            if ct.shape != (n_cols,):
+                raise ValueError(
+                    f"column_thresholds {ct.shape} vs {n_cols} columns")
+            self._col_thr = ct
 
     # -- bucketing ----------------------------------------------------------
 
@@ -470,8 +514,14 @@ class InferencePipeline:
                 "per-head diagnostics need the parameter tree; this pipeline "
                 "serves from a StableHLO artifact (from_artifact)")
         if self._jit_fwd_diag is None:
+            from jax.sharding import PartitionSpec as P
+
+            from synthetic_audio_detection_tpu.parallel import sharding as sh
+
             fwd = functools.partial(self._fwd, return_per_head=True)
-            self._jit_fwd_diag = jax.jit(fwd)
+            # per-head output is [N, B, 2]: batch on axis 1
+            self._jit_fwd_diag = self._wrap_jit(
+                fwd, out_specs=(P(sh.DATA_AXIS), P(None, sh.DATA_AXIS)))
         agg_out, nh_out = [], []
         for batch, take in self._bucketed_batches(windows):
             agg, nh = self._jit_fwd_diag(self.ensemble.variables, batch)
@@ -570,11 +620,10 @@ class InferencePipeline:
         # formulation differs in the last ulp, which would leak into the
         # unrounded percentage floats). decide() stays the jitted in-graph
         # variant for device-resident consumers.
-        thr = self._threshold
         probs = (1.0 / (1.0 + np.exp(-np.asarray(logits, np.float32)))
                  ).astype(np.float32)
         syn, real = probs[:, :-1], probs[:, -1]
-        is_real = (real >= thr) & (syn < thr).all(axis=1)
+        is_real = self._decide_rows(syn, real)
         label_idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
 
         if smooth:
@@ -615,11 +664,24 @@ class InferencePipeline:
         # after renormalization the reference re-applies the same rule with
         # the configured threshold scaled to the renormalized scale: it
         # compares the renormalized values against threshold directly
-        is_real = (real >= self._threshold) & np.all(
-            syn < self._threshold, axis=1
-        )
+        is_real = self._decide_rows(syn, real)
         label_idx = np.where(is_real, n, syn.argmax(axis=1))
         return sm, label_idx
+
+    def _decide_rows(self, syn: np.ndarray, real: np.ndarray) -> np.ndarray:
+        """Row verdicts: Real iff the real column clears its threshold AND
+        fewer than ``syn_override_k`` synthetic columns clear theirs.
+
+        At the defaults (K=1, scalar threshold everywhere) this is the
+        reference's unanimity rule BIT FOR BIT — ``sum(syn >= thr) < 1`` is
+        the exact complement of ``all(syn < thr)``
+        (inference_runner.py:205-213, any-strong-synthetic ⇒ not Real). The
+        K and per-column-threshold knobs are the measured mitigation for
+        that rule's compounding per-head false positives at many heads
+        (docs/PERFORMANCE.md LOGO study)."""
+        strong = syn >= self._col_thr[:-1]
+        k = max(int(self.infer.syn_override_k), 1)
+        return (real >= self._col_thr[-1]) & (strong.sum(axis=1) < k)
 
 
 def result_json(filename: str, result: Dict[str, Any], indent: int = 4) -> str:

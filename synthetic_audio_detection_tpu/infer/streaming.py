@@ -181,11 +181,11 @@ class StreamingAnalyzer:
 
             logits = np.asarray(apply_calibration(logits, self._p._cal), np.float32)
         # per-window live verdicts: the pipeline's host-side float32 sigmoid
-        # + unanimity rule (pipeline.analyze_windows:568-578)
-        thr = self._p._threshold
+        # + decision rule (pipeline._decide_rows — unanimity at the config
+        # defaults, incl. the per-column-threshold / K-of-N extensions)
         probs = (1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
         syn, real = probs[:, :-1], probs[:, -1]
-        is_real = (real >= thr) & (syn < thr).all(axis=1)
+        is_real = self._p._decide_rows(syn, real)
         idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
         labels = labels_from_indices(
             idx, self._p.ensemble.synthetic_names, self._p.ensemble.real_name

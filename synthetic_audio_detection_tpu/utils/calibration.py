@@ -122,6 +122,7 @@ def fit_ensemble_calibration(
     class_idx: np.ndarray,
     class_names: Sequence[str],
     store_eer_threshold: bool = False,
+    store_column_thresholds: bool = False,
     fit_on: Optional[str] = None,
 ) -> Dict[str, object]:
     """Fit per-column temperatures for aggregated ensemble outputs.
@@ -139,6 +140,15 @@ def fit_ensemble_calibration(
     EER operating point mapped through its sigmoid) when
     ``store_eer_threshold`` — the serving default stays 0.5 otherwise, which
     post-calibration is the NLL-consistent operating point.
+
+    ``store_column_thresholds`` additionally stores ``"column_thresholds"``:
+    each column's OWN calibrated-sigmoid EER operating point (syn_j positives
+    = that generator's windows; real positives = real windows). This is the
+    per-head operating-point lever for the unanimity rule's compounding
+    false-positive problem (per-head FPRs compose as 1 - prod(1 - FPR_k) —
+    the LOGO study measured Real TNR collapsing at 5-6 heads): serving
+    engages them with ``InferenceConfig.per_column_thresholds``. A column
+    with no positives or no negatives in the fit data falls back to 0.5.
     """
     z = np.asarray(logits, np.float64)
     ci = np.asarray(class_idx, np.int64).ravel()
@@ -188,6 +198,19 @@ def fit_ensemble_calibration(
         if 0 < is_real.sum() < is_real.size:
             _, thr = equal_error_rate(p_real, is_real)
             out["threshold"] = round(float(thr), 6)
+    if store_column_thresholds:
+        from synthetic_audio_detection_tpu.utils.metrics import equal_error_rate
+
+        col_thr: List[float] = []
+        for j in range(n_heads + 1):
+            target = (ci == j).astype(np.int64)
+            if not 0 < target.sum() < target.size:
+                col_thr.append(0.5)
+                continue
+            p_cal = stable_sigmoid(z[:, j] / temps[j])
+            _, thr = equal_error_rate(p_cal, target)
+            col_thr.append(round(float(thr), 6))
+        out["column_thresholds"] = col_thr
     return out
 
 

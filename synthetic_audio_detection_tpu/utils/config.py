@@ -307,6 +307,18 @@ class InferenceConfig:
     # reference behavior bit-identical; False forces raw sigmoids even for a
     # calibrated checkpoint (CLI --no-calibration).
     apply_calibration: bool = True
+    # Decision-layer extensions. At the defaults the verdict is the
+    # reference's unanimity rule bit for bit (inference_runner.py:194-214:
+    # Real iff real >= thr AND every syn < thr). The LOGO study measured the
+    # rule's per-head false positives compounding at 5-6 heads
+    # (docs/PERFORMANCE.md); these are the framework's measured levers:
+    # syn_override_k — how many synthetic columns must clear their threshold
+    # to override a Real verdict (reference: 1 = any single head).
+    syn_override_k: int = 1
+    # per_column_thresholds — use the calibration dict's per-column EER
+    # operating points ("column_thresholds", utils/calibration.py) in place
+    # of the single scalar threshold. Requires a calibrated checkpoint.
+    per_column_thresholds: bool = False
 
 
 @dataclass(frozen=True)

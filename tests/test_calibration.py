@@ -209,3 +209,88 @@ def test_calibration_roundtrip_both_formats(tiny_ensemble, tmp_path):
     # uncalibrated checkpoints stay calibration-free
     serialization.save_merged_native(native, tiny_ensemble)
     assert serialization.load_merged(native).calibration is None
+
+
+# ---------------------------------------------------------------------------
+# Decision-layer extensions (per-column thresholds, K-of-N override)
+# ---------------------------------------------------------------------------
+
+def test_fit_column_thresholds(rng):
+    names = ["SynA", "SynB", "Real"]
+    n = 3000
+    ci = rng.integers(0, 3, size=n)
+    z = np.stack(
+        [rng.standard_normal(n) * 2.0 + 1.5 * ((ci == j) * 2 - 1)
+         for j in range(3)], axis=1)
+    out = cal.fit_ensemble_calibration(
+        z, ci, names, store_column_thresholds=True)
+    thr = out["column_thresholds"]
+    assert len(thr) == 3 and all(0.0 < t < 1.0 for t in thr)
+    # each column's stored point reproduces equal_error_rate on the
+    # calibrated sigmoid (the serving-side definition)
+    from synthetic_audio_detection_tpu.utils.metrics import equal_error_rate
+
+    for j in range(3):
+        p = cal.stable_sigmoid(z[:, j] / out["temperatures"][j])
+        _, oracle = equal_error_rate(p, (ci == j).astype(np.int64))
+        assert thr[j] == pytest.approx(oracle, abs=1e-6)
+
+    # a column with no positives in the fit data falls back to 0.5
+    ci_degen = np.where(ci == 0, 1, ci)
+    out2 = cal.fit_ensemble_calibration(
+        z, ci_degen, names, store_column_thresholds=True)
+    assert out2["column_thresholds"][0] == 0.5
+
+
+def test_decide_rows_defaults_match_reference_rule(tiny_ensemble, rng):
+    pipe = _pipe(tiny_ensemble)
+    probs = rng.uniform(size=(64, 3)).astype(np.float32)
+    # plant exact-boundary values: the >= / < asymmetry must match
+    probs[:8] = 0.5
+    syn, real = probs[:, :-1], probs[:, -1]
+    got = pipe._decide_rows(syn, real)
+    ref = (real >= 0.5) & (syn < 0.5).all(axis=1)  # inference_runner.py:205-213
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_syn_override_k(tiny_ensemble):
+    syn = np.array([[0.9, 0.1, 0.1],   # one strong head
+                    [0.9, 0.8, 0.1],   # two strong heads
+                    [0.1, 0.2, 0.3]])  # none
+    real = np.array([0.9, 0.9, 0.9])
+    k1 = _pipe(tiny_ensemble, syn_override_k=1)
+    k2 = _pipe(tiny_ensemble, syn_override_k=2)
+    # note: tiny_ensemble has 2 heads but _decide_rows is shape-generic on
+    # its inputs; thresholds broadcast from the scalar default
+    k1._col_thr = np.full(4, 0.5, np.float32)
+    k2._col_thr = np.full(4, 0.5, np.float32)
+    np.testing.assert_array_equal(
+        k1._decide_rows(syn, real), [False, False, True])
+    np.testing.assert_array_equal(
+        k2._decide_rows(syn, real), [True, False, True])
+
+
+def test_per_column_thresholds_engagement(tiny_ensemble):
+    calibrated = dataclasses.replace(
+        tiny_ensemble,
+        calibration={"temperatures": [1.0, 1.0, 1.0],
+                     "column_thresholds": [0.9, 0.9, 0.3]})
+    pipe = _pipe(calibrated, per_column_thresholds=True)
+    np.testing.assert_allclose(pipe._col_thr, [0.9, 0.9, 0.3])
+    # syn 0.6 would override under the 0.5 default but not at its 0.9
+    # operating point; real 0.4 clears its 0.3 point
+    syn = np.array([[0.6, 0.55]])
+    real = np.array([0.4])
+    assert pipe._decide_rows(syn, real).tolist() == [True]
+    default = _pipe(calibrated)
+    assert default._decide_rows(syn, real).tolist() == [False]
+
+    # engagement requires a calibrated checkpoint carrying the thresholds
+    with pytest.raises(ValueError, match="column_thresholds"):
+        _pipe(tiny_ensemble, per_column_thresholds=True)
+    bad = dataclasses.replace(
+        tiny_ensemble,
+        calibration={"temperatures": [1.0, 1.0, 1.0],
+                     "column_thresholds": [0.9, 0.3]})
+    with pytest.raises(ValueError, match="columns"):
+        _pipe(bad, per_column_thresholds=True)

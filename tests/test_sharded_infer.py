@@ -46,3 +46,53 @@ def test_mesh_sharded_logits_match_single_device(rng):
     # odd-sized batch exercises bucket rounding to the mesh multiple
     got7 = sharded.logits_for_windows(windows[:7])
     np.testing.assert_allclose(got7, ref[:7], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_weak_scaling_program_invariance(rng):
+    """The 'linear scale-out' claim for data-parallel serving (SURVEY §2.4,
+    ICI-within/DCN-across): at n=1/2/4/8 devices with the per-device batch
+    held constant, the compiled SPMD serving program must be collective-free
+    (no cross-device communication anywhere in the inference path) and do
+    the SAME per-device work — i.e. scaling out multiplies throughput
+    because each chip runs the identical program on its shard, not a
+    program plus communication."""
+    import re
+
+    model = BinaryClassifier(backbone="resnet18")
+    vds = [init_classifier(model, jax.random.PRNGKey(i), input_size=64)
+           for i in range(2)]
+    ens = build_ensemble(model, vds, ["A", "B", "Real"],
+                         detect_shared_backbone=False)
+    spec = SpectrogramConfig(mel_norm="slaney", out_size=64)
+
+    per_device_batch = 2
+    flops_per_device = {}
+    for n in (1, 2, 4, 8):
+        mesh = sh.create_mesh(data_parallel=n, model_parallel=1,
+                              devices=jax.devices()[:n])
+        pipe = InferencePipeline(
+            ens, spec=spec, infer=InferenceConfig(batch_size=n * per_device_batch),
+            use_pallas=False, mesh=mesh,
+        )
+        batch = jax.ShapeDtypeStruct(
+            (n * per_device_batch, 32_000), jnp.float32,
+            sharding=sh.batch_sharded(mesh, 2))
+        compiled = pipe._jit_fwd.lower(ens.variables, batch).compile()
+        text = compiled.as_text()
+        hits = re.findall(
+            r"\b(all-reduce|all-gather|all-to-all|collective-permute|"
+            r"reduce-scatter|collective-broadcast)\b", text)
+        assert not hits, f"collectives in n={n} serving program: {set(hits)}"
+
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_device[n] = float(cost.get("flops", 0.0))
+
+    # per-device work is constant as devices scale (weak-scaling invariance)
+    base = flops_per_device[1]
+    assert base > 0.0
+    for n in (2, 4, 8):
+        assert flops_per_device[n] == pytest.approx(base, rel=0.02), (
+            f"per-device flops changed at n={n}: {flops_per_device}")

@@ -32,6 +32,14 @@ def main(argv=None) -> int:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--backbone", default="resnet18")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--syn-override-k", type=int, default=1,
+                   help="Decision-layer K (reference unanimity = 1): "
+                   "synthetic columns needed to override a Real verdict")
+    p.add_argument("--per-column-thresholds", action="store_true",
+                   help="Use the checkpoint calibration's per-column EER "
+                   "operating points as the decision thresholds")
+    p.add_argument("--no-calibration", action="store_true")
     args = p.parse_args(argv)
 
     from synthetic_audio_detection_tpu.utils.compile_cache import (
@@ -60,12 +68,22 @@ def main(argv=None) -> int:
         ensemble,
         audio=AudioConfig(),
         spec=SpectrogramConfig.inference(out_size=args.input_size),
-        infer=InferenceConfig(batch_size=args.batch_size),
+        infer=InferenceConfig(
+            batch_size=args.batch_size,
+            threshold=args.threshold,
+            apply_calibration=not args.no_calibration,
+            syn_override_k=args.syn_override_k,
+            per_column_thresholds=args.per_column_thresholds,
+        ),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     out = {
         "input_size": args.input_size or "native",
         "dtype": "bf16" if args.bf16 else "f32",
+        "decision": {"syn_override_k": args.syn_override_k,
+                     "per_column_thresholds": args.per_column_thresholds,
+                     "threshold": args.threshold,
+                     "calibration": not args.no_calibration},
         **evaluate_tree(pipe, args.data_dir),
     }
     print(json.dumps(out))

@@ -50,6 +50,11 @@ def main(argv=None) -> int:
                    help="Also store the calibrated real column's EER "
                    "operating point as the serving threshold (otherwise "
                    "the 0.5 default stays)")
+    p.add_argument("--store-column-thresholds", action="store_true",
+                   help="Also store each column's OWN calibrated EER "
+                   "operating point (the per-head threshold lever for the "
+                   "unanimity rule's compounding false positives; serve "
+                   "with --per-column-thresholds)")
     args = p.parse_args(argv)
 
     from synthetic_audio_detection_tpu.utils.compile_cache import (
@@ -93,6 +98,7 @@ def main(argv=None) -> int:
     cal = cal_mod.fit_ensemble_calibration(
         fit["logits"], fit["class_idx"], serving.class_names,
         store_eer_threshold=args.store_eer_threshold,
+        store_column_thresholds=args.store_column_thresholds,
         fit_on=f"{args.fit_dir} ({fit['logits'].shape[0]} windows)",
     )
     report = {"calibration": cal}
