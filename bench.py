@@ -13,9 +13,10 @@ Timing methodology: on tunneled TPU runtimes, ``block_until_ready`` can
 return before execution and a host transfer carries a large fixed latency —
 so wall-clocking a Python dispatch loop measures nothing. Instead the model
 forward is iterated *inside* one jitted program with ``lax.fori_loop`` (each
-iteration data-dependent on the last, so nothing can be elided or overlapped),
+iteration data-dependent on the last, so nothing can be elided or overlapped;
+the trip count is a traced scalar so N and 1 run the identical executable),
 and the per-iteration time is the difference between an N-iteration and a
-1-iteration program, each synchronized by one scalar transfer:
+1-iteration invocation, each synchronized by one scalar transfer:
 
     t_per_iter = (T(N) - T(1)) / (N - 1)
 
@@ -45,10 +46,18 @@ BATCH = 128
 ITERS = 11  # difference against 1 → 10 timed iterations
 
 
-def _looped(fwd, n_iters: int):
-    """One jitted program running `n_iters` serially-dependent forwards."""
+def _looped(fwd):
+    """One jitted program running `n_iters` serially-dependent forwards.
 
-    def run(variables, windows):
+    ``n_iters`` is a TRACED scalar, so the N-iteration and 1-iteration
+    timings run the IDENTICAL compiled program (fori_loop with dynamic
+    bounds lowers to a while loop) — one remote compile per mode instead
+    of two (a cold 512² compile through the tunnel was measured at 13+
+    minutes; halving the count is what makes a cold round-end run fit the
+    driver's budget), and the N-vs-1 difference can't be contaminated by
+    the two programs compiling differently."""
+
+    def run(variables, windows, n_iters):
         def body(_, carry):
             acc, w = carry
             out = fwd(variables, w)
@@ -63,7 +72,7 @@ def _looped(fwd, n_iters: int):
         )
         return acc
 
-    return jax.jit(run, static_argnums=())
+    return jax.jit(run)
 
 
 def _enable_compile_cache() -> None:
@@ -115,21 +124,23 @@ def _measure_config(ens, out_size: int, on_tpu: bool, iters: int = ITERS) -> flo
     )
     variables = jax.device_put(ens.variables)
 
-    run1 = _looped(fwd, 1)
-    runN = _looped(fwd, iters)
+    run = _looped(fwd)
+    n1 = jnp.asarray(1, jnp.int32)
+    nN = jnp.asarray(iters, jnp.int32)
 
-    # compile both (untimed) and absorb the first-transfer latency
-    float(run1(variables, windows))
-    float(runN(variables, windows))
+    # compile (one program) and absorb the first-transfer latency
+    float(run(variables, windows, n1))
+    float(run(variables, windows, nN))
 
-    def timed(fn) -> float:
+    def timed(n) -> float:
         t0 = time.perf_counter()
-        float(fn(variables, windows))  # scalar transfer = the only real sync
+        # scalar transfer = the only real sync
+        float(run(variables, windows, n))
         return time.perf_counter() - t0
 
     # median of 3 to damp tunnel-latency jitter
-    t1 = sorted(timed(run1) for _ in range(3))[1]
-    tn = sorted(timed(runN) for _ in range(3))[1]
+    t1 = sorted(timed(n1) for _ in range(3))[1]
+    tn = sorted(timed(nN) for _ in range(3))[1]
     per_iter = max((tn - t1) / (iters - 1), 1e-9)
     return BATCH / per_iter
 

@@ -147,3 +147,42 @@ def test_robustness_perturbations_signal_properties():
 
     # clean: identity
     np.testing.assert_array_equal(PERTURBATIONS["clean"](tone, rng), tone)
+
+
+def test_decision_ab_variant_evaluator():
+    """tools/decision_ab.py host-side evaluator: reference unanimity at the
+    defaults; K-of-N and per-column thresholds flip exactly the intended
+    verdicts (the offline twin of pipeline._decide_rows used for the
+    decision-layer A/B — agreement with the serving rule is pinned in
+    tests/test_calibration.py)."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    tools = str(Path(__file__).resolve().parents[1] / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from decision_ab import evaluate_variant
+
+    names = ["SynA", "SynB", "Real"]
+    z = lambda p: np.log(np.array(p) / (1 - np.array(p))).astype(np.float32)
+    files = [
+        ("Real", z([[0.6, 0.1, 0.9]])),   # one head false-fires on real
+        ("Real", z([[0.1, 0.2, 0.9]])),   # clean real
+        ("SynA", z([[0.9, 0.1, 0.2]])),
+        ("Unseen", z([[0.7, 0.1, 0.3]])),  # held-out generator
+    ]
+    uniform = np.full(3, 0.5, np.float32)
+    ref = evaluate_variant(files, names, "Real", "Unseen", None, uniform, 1)
+    assert ref["real_tnr"] == 0.5          # the FP head overrides one file
+    assert ref["unseen_tpr"] == 1.0 and ref["seen_tpr_mean"] == 1.0
+
+    k2 = evaluate_variant(files, names, "Real", "Unseen", None, uniform, 2)
+    assert k2["real_tnr"] == 1.0           # a single FP no longer overrides
+    assert k2["unseen_tpr"] == 1.0         # real col weak → still synthetic
+
+    colthr = np.array([0.65, 0.5, 0.5], np.float32)
+    col = evaluate_variant(files, names, "Real", "Unseen", None, colthr, 1)
+    assert col["real_tnr"] == 1.0          # SynA's own point above its FP
+    assert col["unseen_tpr"] == 1.0

@@ -1,0 +1,227 @@
+"""Decision-layer A/B: reference unanimity vs calibrated / K-of-N variants.
+
+The LOGO study measured the reference's unanimity rule
+(inference_runner.py:194-214 — any strong synthetic head ⇒ not Real, its
+only knob the scalar --threshold at :224) collapsing Real TNR to 0.29-0.63
+at 5-6 heads: per-head false positives compound as 1 - prod(1 - FPR_k).
+This tool measures the framework's decision-layer levers AT MATCHED
+OPERATING POINTS on one set of serving logits:
+
+- ONE device pass per tree (the expensive part), collected per FILE so the
+  per-file majority aggregation matches infer/study.evaluate_tree;
+- calibration (temperatures + scalar EER threshold + per-column EER
+  thresholds) fit on the TRAIN tree only (utils/calibration.py);
+- every decision variant evaluated host-side on the same window logits:
+  reference (raw, thr 0.5, K=1), calibrated scalar EER (K=1), per-column
+  EER thresholds (K=1), and K-of-N overrides on each thresholding.
+
+Folders whose name is not an ensemble class (the LOGO holdout) are kept
+and scored as "unseen": detection succeeds when the verdict is not Real.
+
+Usage:
+    python tools/decision_ab.py --merged-model logo_SynthA/....merged.ckpt \
+        --fit-dir runs/study/dataset/train --data-dir runs/study/dataset/test \
+        --holdout SynthA --input-size native --bf16 --k 1 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def collect_per_file(pipe, data_dir: str):
+    """[(folder_class, per-window raw logits [w, N+1])] over every folder."""
+    from synthetic_audio_detection_tpu.infer.pipeline import (
+        preprocess_waveform,
+        slice_waveform,
+    )
+
+    out: List[Tuple[str, np.ndarray]] = []
+    classes = sorted(
+        d for d in os.listdir(data_dir)
+        if os.path.isdir(os.path.join(data_dir, d))
+    )
+    for cls in classes:
+        folder = os.path.join(data_dir, cls)
+        for name in sorted(os.listdir(folder)):
+            if not name.lower().endswith(".wav"):
+                continue
+            wf = preprocess_waveform(os.path.join(folder, name), pipe.audio)
+            windows, _ = slice_waveform(wf, pipe.audio)
+            if windows.shape[0] == 0:
+                continue
+            out.append((cls, np.asarray(
+                pipe.logits_for_windows(windows), np.float32)))
+    if not out:
+        raise ValueError(f"{data_dir}: no usable labeled segments")
+    return out
+
+
+def verdict_label(
+    probs: np.ndarray,
+    col_thr: np.ndarray,
+    k: int,
+    class_names: List[str],
+) -> str:
+    """Per-file majority label under the (generalized) unanimity rule —
+    the same aggregation as infer/study.evaluate_tree (majority over
+    windows of pipeline._decide_rows verdicts)."""
+    syn, real = probs[:, :-1], probs[:, -1]
+    strong = syn >= col_thr[:-1]
+    is_real = (real >= col_thr[-1]) & (strong.sum(axis=1) < max(k, 1))
+    idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
+    labels = [class_names[j] for j in idx]
+    return collections.Counter(labels).most_common(1)[0][0]
+
+
+def evaluate_variant(
+    files, class_names: List[str], real_name: str, holdout: Optional[str],
+    temps: Optional[np.ndarray], col_thr: np.ndarray, k: int,
+) -> Dict[str, object]:
+    per_class = collections.defaultdict(lambda: [0, 0, 0])  # n, det, attr
+    for cls, z in files:
+        if temps is not None:
+            z = z / temps
+        probs = 1.0 / (1.0 + np.exp(-z.astype(np.float32)))
+        label = verdict_label(probs, col_thr, k, class_names)
+        correct_det = (label == real_name) == (cls == real_name)
+        stats = per_class[cls]
+        stats[0] += 1
+        stats[1] += int(correct_det)
+        stats[2] += int(label == cls)
+    seen = [c for c in per_class
+            if c != real_name and c != holdout and c in class_names]
+    out: Dict[str, object] = {
+        "per_class": {
+            c: {"n": n, "binary": round(d / n, 4), "attribution": round(a / n, 4)}
+            for c, (n, d, a) in sorted(per_class.items())
+        },
+        "real_tnr": round(
+            per_class[real_name][1] / per_class[real_name][0], 4)
+        if real_name in per_class else None,
+        "seen_tpr_mean": round(
+            float(np.mean([per_class[c][1] / per_class[c][0] for c in seen])), 4)
+        if seen else None,
+        "seen_attr_mean": round(
+            float(np.mean([per_class[c][2] / per_class[c][0] for c in seen])), 4)
+        if seen else None,
+    }
+    if holdout and holdout in per_class:
+        n, d, _ = per_class[holdout]
+        out["unseen_tpr"] = round(d / n, 4)
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--merged-model", required=True)
+    p.add_argument("--fit-dir", required=True,
+                   help="TRAIN tree: calibration is fit here only")
+    p.add_argument("--data-dir", required=True, help="held-out test tree")
+    p.add_argument("--holdout",
+                   help="class held out of training (scored as 'unseen')")
+    from synthetic_audio_detection_tpu.utils.config import parse_input_size
+
+    p.add_argument("--input-size", type=parse_input_size, default=512)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--backbone", default="resnet18")
+    p.add_argument("--k", type=int, nargs="+", default=[1, 2],
+                   help="syn-override K values to evaluate")
+    p.add_argument("--output", help="also write the JSON report here")
+    args = p.parse_args(argv)
+
+    from synthetic_audio_detection_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    import jax.numpy as jnp
+
+    from synthetic_audio_detection_tpu.checkpoints import serialization
+    from synthetic_audio_detection_tpu.infer.pipeline import InferencePipeline
+    from synthetic_audio_detection_tpu.infer.study import collect_logits_tree
+    from synthetic_audio_detection_tpu.utils import calibration as cal_mod
+    from synthetic_audio_detection_tpu.utils.config import (
+        AudioConfig,
+        InferenceConfig,
+        SpectrogramConfig,
+    )
+
+    ensemble = serialization.load_merged(args.merged_model,
+                                         backbone=args.backbone)
+    if args.bf16:
+        from synthetic_audio_detection_tpu.ensemble.multihead import with_dtype
+
+        ensemble = with_dtype(ensemble, jnp.bfloat16)
+    pipe = InferencePipeline(
+        ensemble,
+        audio=AudioConfig(),
+        spec=SpectrogramConfig.inference(out_size=args.input_size),
+        infer=InferenceConfig(batch_size=args.batch_size,
+                              apply_calibration=False),
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    class_names = list(ensemble.class_names)
+    real_name = ensemble.real_name
+
+    fit = collect_logits_tree(pipe, args.fit_dir)
+    cal = cal_mod.fit_ensemble_calibration(
+        fit["logits"], fit["class_idx"], class_names,
+        store_eer_threshold=True, store_column_thresholds=True,
+        fit_on=args.fit_dir,
+    )
+    temps = np.asarray(cal["temperatures"], np.float32)
+    n_cols = len(class_names)
+    uniform = np.full(n_cols, 0.5, np.float32)
+    scalar_eer = np.full(n_cols, np.float32(cal.get("threshold", 0.5)),
+                         np.float32)
+    col_eer = np.asarray(cal["column_thresholds"], np.float32)
+
+    files = collect_per_file(pipe, args.data_dir)
+
+    variants = {}
+    for k in args.k:
+        variants[f"reference_unanimity_k{k}"] = (None, uniform, k)
+        variants[f"calibrated_scalar_eer_k{k}"] = (temps, scalar_eer, k)
+        variants[f"per_column_eer_k{k}"] = (temps, col_eer, k)
+    report = {
+        "merged_model": args.merged_model,
+        "holdout": args.holdout,
+        "n_files": len(files),
+        "calibration": cal,
+        "variants": {
+            name: evaluate_variant(files, class_names, real_name,
+                                   args.holdout, t, thr, k)
+            for name, (t, thr, k) in variants.items()
+        },
+    }
+    text = json.dumps(report)
+    print(text)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+
+    # human-readable summary table
+    print("| variant | Real TNR | unseen TPR | seen TPR | seen attr |",
+          file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
+    for name, v in report["variants"].items():
+        print(f"| {name} | {v.get('real_tnr')} | {v.get('unseen_tpr', '-')} "
+              f"| {v.get('seen_tpr_mean')} | {v.get('seen_attr_mean')} |",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
