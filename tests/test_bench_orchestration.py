@@ -8,14 +8,15 @@ before printing anything. The policy under test now:
 - a hard TOTAL deadline: the one JSON line is always emitted within
   TOTAL_DEADLINE_SECS; every attempt's watchdog is clamped to the remaining
   budget and no attempt starts with < MIN_ATTEMPT_SECS left;
-- every measurement runs in a fresh subprocess (hang boundary + first-
-  position timing semantics); the orchestrator never touches a JAX backend;
+- every measurement runs in a fresh subprocess (hang boundary + per-process
+  first-position timing); the orchestrator never touches a JAX backend;
+- NATIVE measures first (the north-star evidence) and its result is
+  attached to the final line even when the headline fails; a native failure
+  never abandons the headline (the round record always gets its shot);
 - headline: NO retry after a timeout (the observed tunnel hang mode freezes
-  everything — a retry would hang too); one fresh-subprocess retry after a
-  non-timeout crash; honest zero line otherwise;
-- secondaries run native FIRST (the north-star evidence outranks fast); a
-  timeout abandons all remaining modes; a crash skips just that mode; there
-  is NO in-process fallback of any kind.
+  everything — a retry would hang too) and fast is then skipped; one
+  fresh-subprocess retry after a non-timeout crash;
+- there is NO in-process fallback of any kind.
 
 No TPU or measurement happens here — ``_orchestrate`` takes its measurement
 function and clock as parameters precisely so this policy is testable on CPU.
@@ -56,7 +57,7 @@ class _Clock:
         return self.t
 
 
-def test_happy_path_all_modes_fresh_process_native_first(bench):
+def test_happy_path_native_first_headline_is_value(bench):
     calls = []
 
     def sub(mode, timeout):
@@ -69,33 +70,47 @@ def test_happy_path_all_modes_fresh_process_native_first(bench):
     assert out["fast_256_segments_per_sec"] == 19500.0
     assert out["native_segments_per_sec"] == 41000.0
     assert out["native_vs_baseline"] == round(41000.0 / 25000.0, 4)
-    # headline first (first-position semantics), then NATIVE before fast
-    # (under deadline pressure the north-star mode must not be dropped),
-    # each mode exactly once
-    assert [m for m, _ in calls] == ["headline", "native", "fast"]
-    # watchdogs at warm-cache scale, never above the per-mode caps
-    assert calls[0][1] <= bench.MODE_TIMEOUT_SECS
-    assert all(t <= bench.SECONDARY_TIMEOUT_SECS for _, t in calls[1:])
-    assert not any(k.endswith("_same_process") for k in out)
+    # native measures FIRST (it must not be squeezed out by a slow tunnel);
+    # each mode exactly once; fast last
+    assert [m for m, _ in calls] == ["native", "headline", "fast"]
+    for _, t in calls:
+        assert t <= bench.MODE_TIMEOUT_SECS
 
 
-def test_headline_timeout_fails_fast_no_retry(bench):
+def test_headline_timeout_no_retry_keeps_native_evidence(bench):
     attempts = []
 
     def sub(mode, timeout):
         attempts.append(mode)
+        if mode == "native":
+            return 41000.0
         raise _timeout()
 
     out = bench._orchestrate(run_sub=sub, clock=_Clock())
-    # exactly ONE headline attempt: the hang mode freezes the whole tunnel,
-    # a retry would burn the driver's budget hanging too
-    assert attempts == ["headline"]
-    assert out == {
-        "metric": "4s_segments_per_sec_per_chip",
-        "value": 0.0,
-        "unit": "segments/s",
-        "vs_baseline": 0.0,
-    }
+    # exactly ONE headline attempt (hang mode: a retry would hang too),
+    # fast skipped, but the measured native rides the zero line
+    assert attempts == ["native", "headline"]
+    assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
+    assert out["native_segments_per_sec"] == 41000.0
+    assert out["native_vs_baseline"] == round(41000.0 / 25000.0, 4)
+    assert "fast_256_segments_per_sec" not in out
+
+
+def test_native_timeout_does_not_abandon_headline(bench):
+    calls = []
+
+    def sub(mode, timeout):
+        calls.append(mode)
+        if mode == "native":
+            raise _timeout()
+        return {"headline": 6000.0, "fast": 19500.0}[mode]
+
+    out = bench._orchestrate(run_sub=sub, clock=_Clock())
+    # the headline is the round record — it always gets its shot
+    assert calls == ["native", "headline", "fast"]
+    assert out["value"] == 6000.0
+    assert "native_segments_per_sec" not in out
+    assert out["fast_256_segments_per_sec"] == 19500.0
 
 
 def test_headline_crash_retried_once_in_fresh_subprocess(bench):
@@ -113,63 +128,43 @@ def test_headline_crash_retried_once_in_fresh_subprocess(bench):
     assert len(attempts) == 2
     assert out["value"] == 5900.0
     assert out["native_segments_per_sec"] == 41000.0
+    assert out["fast_256_segments_per_sec"] == 19500.0
 
 
-def test_headline_double_crash_yields_honest_zero_line(bench):
+def test_headline_double_crash_yields_zero_line_with_native(bench):
     attempts = []
 
     def sub(mode, timeout):
         attempts.append(mode)
+        if mode == "native":
+            return 41000.0
         raise subprocess.CalledProcessError(1, "bench")
 
     out = bench._orchestrate(run_sub=sub, clock=_Clock())
-    assert attempts == ["headline", "headline"]
-    assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
-
-
-def test_secondary_timeout_abandons_remaining_modes(bench):
-    calls = []
-
-    def sub(mode, timeout):
-        calls.append(mode)
-        if mode == "headline":
-            return 6000.0
-        raise _timeout()
-
-    out = bench._orchestrate(run_sub=sub, clock=_Clock())
-    assert out["value"] == 6000.0
-    # native timed out -> tunnel hang -> fast is NOT attempted
-    assert calls == ["headline", "native"]
-    assert "native_segments_per_sec" not in out
+    assert attempts == ["native", "headline", "headline"]
+    assert out["value"] == 0.0
+    assert out["native_segments_per_sec"] == 41000.0
+    # a crashed (not timed-out) headline still skips fast: value is zero,
+    # nothing left to adorn
     assert "fast_256_segments_per_sec" not in out
-    assert "native_vs_baseline" not in out
 
 
-def test_secondary_crash_skips_mode_keeps_going_no_fallback(bench):
-    calls = []
-
+def test_fast_crash_is_skipped_silently(bench):
     def sub(mode, timeout):
-        calls.append(mode)
-        if mode == "headline":
-            return 6000.0
-        if mode == "native":
+        if mode == "fast":
             raise subprocess.CalledProcessError(1, "bench")
-        return 19500.0
+        return {"headline": 6000.0, "native": 41000.0}[mode]
 
     out = bench._orchestrate(run_sub=sub, clock=_Clock())
     assert out["value"] == 6000.0
-    # crash (not timeout): native skipped, fast still measured — and no
-    # in-process fallback exists (nothing is ever measured in the parent)
-    assert calls == ["headline", "native", "fast"]
-    assert "native_segments_per_sec" not in out
-    assert out["fast_256_segments_per_sec"] == 19500.0
+    assert out["native_segments_per_sec"] == 41000.0
+    assert "fast_256_segments_per_sec" not in out
     assert not any(k.endswith("_same_process") for k in out)
 
 
 def test_total_deadline_caps_attempts_and_watchdogs(bench):
-    # each clock reading advances 400 s: headline lands well inside the
-    # budget, native's watchdog must be clamped below the per-mode cap,
-    # and by fast's turn the remaining budget is < MIN_ATTEMPT_SECS
+    # each clock reading advances 400 s: native + headline land inside the
+    # budget, and by fast's turn the remaining budget is < MIN_ATTEMPT_SECS
     calls = []
 
     def sub(mode, timeout):
@@ -186,8 +181,8 @@ def test_total_deadline_caps_attempts_and_watchdogs(bench):
 
 
 def test_deadline_already_spent_yields_zero_line_without_attempts(bench):
-    # the clock jumps a full deadline between readings: by the headline
-    # budget check the whole budget is gone — no attempt, honest zero line
+    # the clock jumps a full deadline between readings: by the first budget
+    # check the whole budget is gone — no attempt, honest zero line
     calls = []
 
     def sub(mode, timeout):
