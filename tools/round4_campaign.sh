@@ -80,7 +80,15 @@ train_arm SynthF "" && ab_arm SynthF
 train_arm SynthD "_waug" --wave-augment
 train_arm SynthF "_waug" --wave-augment
 
-# phase 4: complete the 3-holdout table
+# phase 4: StableHLO artifact drive on chip (VERDICT #6) with a real model
+M="$D/logo_SynthD/joint_model.ckpt.merged.ckpt"
+if [ -f "$M" ]; then
+  stepj "stablehlo_drive" 2400 "$D/stablehlo_drive.json" \
+    python tools/stablehlo_drive.py --merged-model "$M" \
+      --audio-dir "$D/dataset/test/Real" --input-size native --bf16
+fi
+
+# phase 5 (optional tail): complete the 3-holdout table
 train_arm SynthA "" && ab_arm SynthA
 
 echo "=== campaign done $(date -u)" | tee -a "$LOG/campaign.log"
