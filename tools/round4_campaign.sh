@@ -88,6 +88,11 @@ if [ -f "$M" ]; then
       --audio-dir "$D/dataset/test/Real" --input-size native --bf16
 fi
 
+# phase 4b: native stage decomposition recheck (post-factored-kernel front
+# end fraction — the ceiling-certificate input, VERDICT weak #6)
+step "stage_decomp_native" 2400 \
+  python benchmarks/stage_decomp.py --input-size native --mono
+
 # phase 5 (optional tail): complete the 3-holdout table
 train_arm SynthA "" && ab_arm SynthA
 
