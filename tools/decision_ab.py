@@ -12,8 +12,16 @@ OPERATING POINTS on one set of serving logits:
 - calibration (temperatures + scalar EER threshold + per-column EER
   thresholds) fit on the TRAIN tree only (utils/calibration.py);
 - every decision variant evaluated host-side on the same window logits:
-  reference (raw, thr 0.5, K=1), calibrated scalar EER (K=1), per-column
-  EER thresholds (K=1), and K-of-N overrides on each thresholding.
+  reference (raw, thr 0.5, K=1), calibrated unanimity (temps, 0.5),
+  calibrated scalar EER (K=1), per-column EER thresholds (K=1), K-of-N
+  overrides, and the Šidák-corrected unanimity — per-head thresholds at
+  per-head real-window FPR q = 1-(1-α)^(1/N) fit on the TRAIN tree, which
+  targets the ENSEMBLE false-positive rate α directly (the unanimity
+  rule's compounding is exactly 1-Π(1-FPR_k), so fixing each head's
+  real-FPR bounds the compound);
+- collected logits are cached to an .npz beside --output so further
+  variants can be evaluated offline without repeating the device passes
+  (--from-logits).
 
 Folders whose name is not an ensemble class (the LOGO holdout) are kept
 and scored as "unseen": detection succeeds when the verdict is not Real.
@@ -137,68 +145,129 @@ def main(argv=None) -> int:
     p.add_argument("--backbone", default="resnet18")
     p.add_argument("--k", type=int, nargs="+", default=[1, 2],
                    help="syn-override K values to evaluate")
+    p.add_argument("--sidak-alpha", type=float, nargs="+",
+                   default=[0.05, 0.10],
+                   help="target ensemble real-FPR levels for the "
+                   "Šidák-corrected per-head thresholds")
     p.add_argument("--output", help="also write the JSON report here")
+    p.add_argument("--from-logits",
+                   help="reuse a cached .npz from a previous run (no device "
+                   "passes; --merged-model only names the report)")
     args = p.parse_args(argv)
 
-    from synthetic_audio_detection_tpu.utils.compile_cache import (
-        enable_persistent_cache,
-    )
-
-    enable_persistent_cache()
-
-    import jax.numpy as jnp
-
-    from synthetic_audio_detection_tpu.checkpoints import serialization
-    from synthetic_audio_detection_tpu.infer.pipeline import InferencePipeline
-    from synthetic_audio_detection_tpu.infer.study import collect_logits_tree
     from synthetic_audio_detection_tpu.utils import calibration as cal_mod
-    from synthetic_audio_detection_tpu.utils.config import (
-        AudioConfig,
-        InferenceConfig,
-        SpectrogramConfig,
-    )
 
-    ensemble = serialization.load_merged(args.merged_model,
-                                         backbone=args.backbone)
-    if args.bf16:
-        from synthetic_audio_detection_tpu.ensemble.multihead import with_dtype
+    if args.from_logits:
+        cache = np.load(args.from_logits)
+        fit_logits = cache["fit_logits"]
+        fit_ci = cache["fit_class_idx"]
+        class_names = [str(s) for s in cache["class_names"]]
+        real_name = str(cache["real_name"])
+        files = []
+        off = 0
+        for cls, cnt in zip(cache["test_file_class"],
+                            cache["test_file_count"]):
+            files.append((str(cls), cache["test_logits"][off:off + int(cnt)]))
+            off += int(cnt)
+    else:
+        from synthetic_audio_detection_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
 
-        ensemble = with_dtype(ensemble, jnp.bfloat16)
-    pipe = InferencePipeline(
-        ensemble,
-        audio=AudioConfig(),
-        spec=SpectrogramConfig.inference(out_size=args.input_size),
-        infer=InferenceConfig(batch_size=args.batch_size,
-                              apply_calibration=False),
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
-    class_names = list(ensemble.class_names)
-    real_name = ensemble.real_name
+        enable_persistent_cache()
 
-    fit = collect_logits_tree(pipe, args.fit_dir)
+        import jax.numpy as jnp
+
+        from synthetic_audio_detection_tpu.checkpoints import serialization
+        from synthetic_audio_detection_tpu.infer.pipeline import (
+            InferencePipeline,
+        )
+        from synthetic_audio_detection_tpu.infer.study import (
+            collect_logits_tree,
+        )
+        from synthetic_audio_detection_tpu.utils.config import (
+            AudioConfig,
+            InferenceConfig,
+            SpectrogramConfig,
+        )
+
+        ensemble = serialization.load_merged(args.merged_model,
+                                             backbone=args.backbone)
+        if args.bf16:
+            from synthetic_audio_detection_tpu.ensemble.multihead import (
+                with_dtype,
+            )
+
+            ensemble = with_dtype(ensemble, jnp.bfloat16)
+        pipe = InferencePipeline(
+            ensemble,
+            audio=AudioConfig(),
+            spec=SpectrogramConfig.inference(out_size=args.input_size),
+            infer=InferenceConfig(batch_size=args.batch_size,
+                                  apply_calibration=False),
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        class_names = list(ensemble.class_names)
+        real_name = ensemble.real_name
+
+        fit = collect_logits_tree(pipe, args.fit_dir)
+        fit_logits, fit_ci = fit["logits"], fit["class_idx"]
+        files = collect_per_file(pipe, args.data_dir)
+        if args.output:
+            np.savez_compressed(
+                args.output + ".logits.npz",
+                fit_logits=fit_logits, fit_class_idx=fit_ci,
+                test_logits=np.concatenate([z for _, z in files], axis=0),
+                test_file_class=np.array([c for c, _ in files]),
+                test_file_count=np.array([z.shape[0] for _, z in files],
+                                         np.int64),
+                class_names=np.array(class_names),
+                real_name=np.array(real_name),
+            )
+
     cal = cal_mod.fit_ensemble_calibration(
-        fit["logits"], fit["class_idx"], class_names,
+        fit_logits, fit_ci, class_names,
         store_eer_threshold=True, store_column_thresholds=True,
         fit_on=args.fit_dir,
     )
     temps = np.asarray(cal["temperatures"], np.float32)
     n_cols = len(class_names)
+    n_heads = n_cols - 1
     uniform = np.full(n_cols, 0.5, np.float32)
     scalar_eer = np.full(n_cols, np.float32(cal.get("threshold", 0.5)),
                          np.float32)
     col_eer = np.asarray(cal["column_thresholds"], np.float32)
 
-    files = collect_per_file(pipe, args.data_dir)
+    # Šidák-corrected per-head operating points: the unanimity rule's
+    # real-window false-positive rate compounds as 1-Π(1-FPR_k); setting
+    # each head's real-FPR to q = 1-(1-α)^(1/N) on the FIT tree targets an
+    # ensemble real-FPR of α directly. Real column stays at the calibrated
+    # 0.5 (temperature scaling makes that the NLL-consistent point).
+    real_fit = fit_logits[fit_ci == n_heads] / temps
+    p_real_fit = 1.0 / (1.0 + np.exp(-real_fit.astype(np.float64)))
+    sidak = {}
+    for alpha in args.sidak_alpha:
+        q = 1.0 - (1.0 - alpha) ** (1.0 / n_heads)
+        thr = np.full(n_cols, 0.5, np.float32)
+        for j in range(n_heads):
+            thr[j] = np.float32(np.quantile(p_real_fit[:, j], 1.0 - q))
+        sidak[f"sidak_a{int(round(alpha * 100)):02d}_k1"] = thr
 
     variants = {}
     for k in args.k:
         variants[f"reference_unanimity_k{k}"] = (None, uniform, k)
+        if k == 1:
+            variants["calibrated_unanimity_k1"] = (temps, uniform, 1)
         variants[f"calibrated_scalar_eer_k{k}"] = (temps, scalar_eer, k)
         variants[f"per_column_eer_k{k}"] = (temps, col_eer, k)
+    for name, thr in sidak.items():
+        variants[name] = (temps, thr, 1)
     report = {
         "merged_model": args.merged_model,
         "holdout": args.holdout,
         "n_files": len(files),
+        "sidak_thresholds": {k: np.round(v, 4).tolist()
+                             for k, v in sidak.items()},
         "calibration": cal,
         "variants": {
             name: evaluate_variant(files, class_names, real_name,
