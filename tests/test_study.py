@@ -186,3 +186,28 @@ def test_decision_ab_variant_evaluator():
     col = evaluate_variant(files, names, "Real", "Unseen", None, colthr, 1)
     assert col["real_tnr"] == 1.0          # SynA's own point above its FP
     assert col["unseen_tpr"] == 1.0
+
+
+def test_decision_ab_sidak_thresholds_bound_compound_fpr():
+    """The Šidák per-head operating points: capping each head's real-window
+    FPR at q = 1-(1-alpha)^(1/N) bounds the unanimity rule's compounded
+    real-FPR at alpha (independence-or-better). Pin the quantile math the
+    tool uses and the compound bound on held-out-like data."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n_heads, alpha = 5, 0.10
+    # per-head sigmoids on real windows: mildly correlated noise
+    base = rng.uniform(0.0, 0.6, size=(4000, 1))
+    p_real = np.clip(base * 0.3 + rng.uniform(0, 0.6, (4000, n_heads)), 0, 1)
+
+    q = 1.0 - (1.0 - alpha) ** (1.0 / n_heads)
+    thr = np.quantile(p_real, 1.0 - q, axis=0)
+    # each head individually: FPR <= q (+ sampling slack)
+    per_head_fpr = (p_real >= thr).mean(axis=0)
+    assert (per_head_fpr <= q + 2e-3).all()
+    # the compound (any head fires) on the SAME data is bounded by
+    # 1-(1-q)^N = alpha under independence; positive correlation only
+    # reduces it
+    compound = (p_real >= thr).any(axis=1).mean()
+    assert compound <= alpha + 0.01
