@@ -90,10 +90,13 @@ def make_prefix(ens, spec, upto: str):
 
 
 def measure(fwd, variables, windows) -> float:
-    run1, runN = _looped(fwd, 1), _looped(fwd, ITERS)
-    float(run1(variables, windows)); float(runN(variables, windows))
-    t0 = time.perf_counter(); float(run1(variables, windows)); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(runN(variables, windows)); tn = time.perf_counter() - t0
+    import jax.numpy as jnp
+
+    run = _looped(fwd)  # ONE program; trip count is a traced scalar
+    n1, nN = jnp.asarray(1, jnp.int32), jnp.asarray(ITERS, jnp.int32)
+    float(run(variables, windows, nN))
+    t0 = time.perf_counter(); float(run(variables, windows, n1)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(run(variables, windows, nN)); tn = time.perf_counter() - t0
     return max((tn - t1) / (ITERS - 1), 1e-9)
 
 

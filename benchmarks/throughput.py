@@ -35,20 +35,21 @@ def measure(fwd, variables, windows, iters: int = 11) -> float:
     produce physically impossible readings on sub-ms-per-iter configs (a
     round-3 run read the mel kernel at 294 TF/s nominal, above the chip's
     197 peak, from one polluted t1)."""
+    import jax.numpy as jnp
+
     from bench import _looped
 
-    run1 = _looped(fwd, 1)
-    runN = _looped(fwd, iters)
-    float(run1(variables, windows))
-    float(runN(variables, windows))
+    run = _looped(fwd)  # ONE program; trip count is a traced scalar
+    n1, nN = jnp.asarray(1, jnp.int32), jnp.asarray(iters, jnp.int32)
+    float(run(variables, windows, nN))
 
-    def timed(fn) -> float:
+    def timed(n) -> float:
         t0 = time.perf_counter()
-        float(fn(variables, windows))
+        float(run(variables, windows, n))
         return time.perf_counter() - t0
 
-    t1 = sorted(timed(run1) for _ in range(3))[1]
-    tn = sorted(timed(runN) for _ in range(3))[1]
+    t1 = sorted(timed(n1) for _ in range(3))[1]
+    tn = sorted(timed(nN) for _ in range(3))[1]
     return max((tn - t1) / (iters - 1), 1e-9)
 
 
