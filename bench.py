@@ -43,7 +43,9 @@ import numpy as np
 
 TARGET_SEGS_PER_SEC = 25_000.0
 BATCH = 128
-ITERS = 11  # difference against 1 → 10 timed iterations
+ITERS = 51  # difference against 1 → 50 timed iterations (the signal must
+            # stand clear of the tunnel's scalar-fetch jitter; extra loop
+            # iterations are nearly free next to a 25-100 s fetch)
 
 
 def _looped(fwd):
