@@ -123,6 +123,8 @@ def fit_ensemble_calibration(
     class_names: Sequence[str],
     store_eer_threshold: bool = False,
     store_column_thresholds: bool = False,
+    column_threshold_method: str = "eer",
+    sidak_alpha: float = 0.05,
     fit_on: Optional[str] = None,
 ) -> Dict[str, object]:
     """Fit per-column temperatures for aggregated ensemble outputs.
@@ -141,14 +143,25 @@ def fit_ensemble_calibration(
     ``store_eer_threshold`` — the serving default stays 0.5 otherwise, which
     post-calibration is the NLL-consistent operating point.
 
-    ``store_column_thresholds`` additionally stores ``"column_thresholds"``:
-    each column's OWN calibrated-sigmoid EER operating point (syn_j positives
-    = that generator's windows; real positives = real windows). This is the
-    per-head operating-point lever for the unanimity rule's compounding
-    false-positive problem (per-head FPRs compose as 1 - prod(1 - FPR_k) —
-    the LOGO study measured Real TNR collapsing at 5-6 heads): serving
-    engages them with ``InferenceConfig.per_column_thresholds``. A column
-    with no positives or no negatives in the fit data falls back to 0.5.
+    ``store_column_thresholds`` additionally stores ``"column_thresholds"``
+    — the per-head operating-point lever for the unanimity rule's
+    compounding false-positive problem (per-head real-FPRs compose as
+    1 - prod(1 - FPR_k) — the LOGO study measured Real TNR collapsing at
+    5-6 heads); serving engages them with
+    ``InferenceConfig.per_column_thresholds``. Two methods
+    (``column_threshold_method``), measured head-to-head in the round-4
+    decision-layer A/B (docs/PERFORMANCE.md):
+
+    - ``"eer"``: each column's OWN calibrated-sigmoid EER point (syn_j
+      positives = that generator's windows; real positives = real
+      windows) — the balanced default (dominated the reference rule on
+      one LOGO arm). A column with no positives or no negatives in the
+      fit data falls back to 0.5.
+    - ``"sidak"``: per-head thresholds at per-head real-window FPR
+      q = 1 - (1 - sidak_alpha)^(1/N), so the ENSEMBLE's compounded
+      real-FPR is bounded by ``sidak_alpha`` (independence-or-better);
+      the real column stays at the calibrated 0.5. The TNR-control knob;
+      costs seen TPR in proportion to head overlap.
     """
     z = np.asarray(logits, np.float64)
     ci = np.asarray(class_idx, np.int64).ravel()
@@ -199,18 +212,39 @@ def fit_ensemble_calibration(
             _, thr = equal_error_rate(p_real, is_real)
             out["threshold"] = round(float(thr), 6)
     if store_column_thresholds:
-        from synthetic_audio_detection_tpu.utils.metrics import equal_error_rate
-
+        if column_threshold_method not in ("eer", "sidak"):
+            raise ValueError(
+                f"column_threshold_method {column_threshold_method!r} "
+                "(choose 'eer' or 'sidak')")
         col_thr: List[float] = []
-        for j in range(n_heads + 1):
-            target = (ci == j).astype(np.int64)
-            if not 0 < target.sum() < target.size:
-                col_thr.append(0.5)
-                continue
-            p_cal = stable_sigmoid(z[:, j] / temps[j])
-            _, thr = equal_error_rate(p_cal, target)
-            col_thr.append(round(float(thr), 6))
+        if column_threshold_method == "eer":
+            from synthetic_audio_detection_tpu.utils.metrics import (
+                equal_error_rate,
+            )
+
+            for j in range(n_heads + 1):
+                target = (ci == j).astype(np.int64)
+                if not 0 < target.sum() < target.size:
+                    col_thr.append(0.5)
+                    continue
+                p_cal = stable_sigmoid(z[:, j] / temps[j])
+                _, thr = equal_error_rate(p_cal, target)
+                col_thr.append(round(float(thr), 6))
+        else:
+            if not 0.0 < sidak_alpha < 1.0:
+                raise ValueError(f"sidak_alpha {sidak_alpha} not in (0, 1)")
+            real_rows = z[ci == n_heads]
+            q = 1.0 - (1.0 - sidak_alpha) ** (1.0 / max(n_heads, 1))
+            for j in range(n_heads):
+                if real_rows.shape[0] == 0:
+                    col_thr.append(0.5)
+                    continue
+                p_real = stable_sigmoid(real_rows[:, j] / temps[j])
+                col_thr.append(round(float(np.quantile(p_real, 1.0 - q)), 6))
+            col_thr.append(0.5)  # real column: calibrated NLL-consistent pt
+            out["sidak_alpha"] = float(sidak_alpha)
         out["column_thresholds"] = col_thr
+        out["column_threshold_method"] = column_threshold_method
     return out
 
 

@@ -294,3 +294,41 @@ def test_per_column_thresholds_engagement(tiny_ensemble):
                      "column_thresholds": [0.9, 0.3]})
     with pytest.raises(ValueError, match="columns"):
         _pipe(bad, per_column_thresholds=True)
+
+
+def test_fit_sidak_column_thresholds(rng):
+    names = ["SynA", "SynB", "SynC", "Real"]
+    n = 4000
+    ci = rng.integers(0, 4, size=n)
+    z = np.stack(
+        [rng.standard_normal(n) * 2.0 + 1.5 * ((ci == j) * 2 - 1)
+         for j in range(4)], axis=1)
+    alpha = 0.10
+    out = cal.fit_ensemble_calibration(
+        z, ci, names, store_column_thresholds=True,
+        column_threshold_method="sidak", sidak_alpha=alpha)
+    thr = np.asarray(out["column_thresholds"])
+    assert out["column_threshold_method"] == "sidak"
+    assert out["sidak_alpha"] == alpha
+    assert thr[-1] == 0.5  # real column stays at the calibrated point
+
+    # the defining property: on the FIT real windows, each head's FPR is
+    # q = 1-(1-alpha)^(1/N), so the compounded any-head rate is <= alpha
+    # (equality under independence)
+    real = z[ci == 3]
+    temps = np.asarray(out["temperatures"])
+    p = cal.stable_sigmoid(real[:, :3] / temps[:3])
+    q = 1.0 - (1.0 - alpha) ** (1.0 / 3.0)
+    per_head = (p >= thr[:3]).mean(axis=0)
+    assert (per_head <= q + 2e-3).all()
+    assert (p >= thr[:3]).any(axis=1).mean() <= alpha + 5e-3
+
+    # method validation
+    with pytest.raises(ValueError, match="column_threshold_method"):
+        cal.fit_ensemble_calibration(
+            z, ci, names, store_column_thresholds=True,
+            column_threshold_method="nope")
+    with pytest.raises(ValueError, match="sidak_alpha"):
+        cal.fit_ensemble_calibration(
+            z, ci, names, store_column_thresholds=True,
+            column_threshold_method="sidak", sidak_alpha=1.5)

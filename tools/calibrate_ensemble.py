@@ -51,10 +51,21 @@ def main(argv=None) -> int:
                    "operating point as the serving threshold (otherwise "
                    "the 0.5 default stays)")
     p.add_argument("--store-column-thresholds", action="store_true",
-                   help="Also store each column's OWN calibrated EER "
-                   "operating point (the per-head threshold lever for the "
-                   "unanimity rule's compounding false positives; serve "
-                   "with --per-column-thresholds)")
+                   help="Also store per-column operating points (the "
+                   "per-head threshold lever for the unanimity rule's "
+                   "compounding false positives; serve with "
+                   "--per-column-thresholds)")
+    p.add_argument("--column-threshold-method", default="eer",
+                   choices=["eer", "sidak"],
+                   help="'eer': each column's own calibrated EER point "
+                   "(balanced default). 'sidak': per-head real-FPR "
+                   "q=1-(1-alpha)^(1/N) so the ensemble's compounded "
+                   "real-FPR is bounded by --sidak-alpha (the TNR-control "
+                   "knob; costs seen TPR with head overlap — measured "
+                   "trade in docs/PERFORMANCE.md)")
+    p.add_argument("--sidak-alpha", type=float, default=0.05,
+                   help="target ensemble real-FPR for "
+                   "--column-threshold-method sidak")
     args = p.parse_args(argv)
 
     from synthetic_audio_detection_tpu.utils.compile_cache import (
@@ -99,6 +110,8 @@ def main(argv=None) -> int:
         fit["logits"], fit["class_idx"], serving.class_names,
         store_eer_threshold=args.store_eer_threshold,
         store_column_thresholds=args.store_column_thresholds,
+        column_threshold_method=args.column_threshold_method,
+        sidak_alpha=args.sidak_alpha,
         fit_on=f"{args.fit_dir} ({fit['logits'].shape[0]} windows)",
     )
     report = {"calibration": cal}
