@@ -25,7 +25,8 @@ sys.path.insert(0, ".")
 
 from bench import _enable_compile_cache, _looped
 
-ITERS = 11
+ITERS = 51  # the per-stage deltas need the signal well above
+            # the tunnel's scalar-fetch jitter (NOTES entry 38)
 BATCH = 128
 
 
