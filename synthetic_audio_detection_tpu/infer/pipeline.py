@@ -652,36 +652,63 @@ class InferencePipeline:
 
     def smooth_probs(self, probs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Gaussian-smooth per output dim across the window axis, renormalize
-        rows, re-decide labels (inference_runner.py:300-325)."""
-        sm = np.asarray(
+        rows, re-decide labels (inference_runner.py:300-325).
+
+        At the defaults the re-decision runs on the RENORMALIZED rows with
+        the scalar threshold — the reference's quirk, preserved bit for bit.
+        With the opt-in operating points engaged (``per_column_thresholds``
+        or ``syn_override_k != 1``) the fitted thresholds live on the
+        calibrated SIGMOID scale, so applying them to rows renormalized to
+        sum to 1 across N+1 columns would be a scale mismatch that silently
+        voids the calibration contract; there the labels are re-decided from
+        the smoothed pre-renormalization values instead (the renormalized
+        rows still feed the percentages, matching the reference schema)."""
+        sm_raw = np.asarray(
             gaussian_filter1d(jnp.asarray(probs), self.infer.smooth_sigma, axis=0)
         )
-        row_sums = sm.sum(axis=1, keepdims=True)
-        sm = sm / np.maximum(row_sums, 1e-8)
+        row_sums = sm_raw.sum(axis=1, keepdims=True)
+        sm = sm_raw / np.maximum(row_sums, 1e-8)
         n = probs.shape[1] - 1
-        syn = sm[:, :n]
-        real = sm[:, n]
+        custom_points = (self.infer.per_column_thresholds
+                         or int(self.infer.syn_override_k) != 1)
+        decide_on = sm_raw if custom_points else sm
         # after renormalization the reference re-applies the same rule with
-        # the configured threshold scaled to the renormalized scale: it
-        # compares the renormalized values against threshold directly
-        is_real = self._decide_rows(syn, real)
-        label_idx = np.where(is_real, n, syn.argmax(axis=1))
+        # the configured threshold compared against the renormalized values
+        # directly (the quirk documented above)
+        is_real = self._decide_rows(decide_on[:, :n], decide_on[:, n])
+        label_idx = np.where(is_real, n, decide_on[:, :n].argmax(axis=1))
         return sm, label_idx
 
     def _decide_rows(self, syn: np.ndarray, real: np.ndarray) -> np.ndarray:
-        """Row verdicts: Real iff the real column clears its threshold AND
-        fewer than ``syn_override_k`` synthetic columns clear theirs.
+        """Row verdicts via the module-level :func:`decide_rows` (one shared
+        implementation of the rule — tools/decision_ab.py evaluates the same
+        function offline, so the A/B tool cannot drift from serving)."""
+        return decide_rows(syn, real, self._col_thr,
+                           int(self.infer.syn_override_k))
 
-        At the defaults (K=1, scalar threshold everywhere) this is the
-        reference's unanimity rule BIT FOR BIT — ``sum(syn >= thr) < 1`` is
-        the exact complement of ``all(syn < thr)``
-        (inference_runner.py:205-213, any-strong-synthetic ⇒ not Real). The
-        K and per-column-threshold knobs are the measured mitigation for
-        that rule's compounding per-head false positives at many heads
-        (docs/PERFORMANCE.md LOGO study)."""
-        strong = syn >= self._col_thr[:-1]
-        k = max(int(self.infer.syn_override_k), 1)
-        return (real >= self._col_thr[-1]) & (strong.sum(axis=1) < k)
+
+def decide_rows(
+    syn: np.ndarray,
+    real: np.ndarray,
+    col_thr: np.ndarray,
+    syn_override_k: int = 1,
+) -> np.ndarray:
+    """Row verdicts: Real iff the real column clears its threshold AND fewer
+    than ``syn_override_k`` synthetic columns clear theirs.
+
+    At the defaults (K=1, scalar threshold everywhere) this is the
+    reference's unanimity rule BIT FOR BIT — ``sum(syn >= thr) < 1`` is the
+    exact complement of ``all(syn < thr)`` (inference_runner.py:205-213,
+    any-strong-synthetic ⇒ not Real). The K and per-column-threshold knobs
+    are the measured mitigation for that rule's compounding per-head false
+    positives at many heads (docs/PERFORMANCE.md LOGO study).
+
+    This module-level function is THE decision rule: the serving pipeline
+    (``InferencePipeline._decide_rows``) and the offline A/B evaluator
+    (``tools/decision_ab.py``) both call it, so the two cannot drift."""
+    strong = syn >= col_thr[:-1]
+    k = max(int(syn_override_k), 1)
+    return (real >= col_thr[-1]) & (strong.sum(axis=1) < k)
 
 
 def result_json(filename: str, result: Dict[str, Any], indent: int = 4) -> str:

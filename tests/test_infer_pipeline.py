@@ -225,3 +225,48 @@ def test_per_head_sigmoids_consistent_with_aggregate(tiny_pipeline):
     per_head_real_logits = np.log(probs[:, :, 0] / (1 - probs[:, :, 0]))
     expect = 1.0 / (1.0 + np.exp(-per_head_real_logits.mean(axis=1)))
     np.testing.assert_allclose(agg_sig[:, n], expect, rtol=1e-3, atol=1e-3)
+
+
+def _smooth_labels(probs, infer, col_thr):
+    """Drive InferencePipeline.smooth_probs against a minimal stand-in (the
+    method touches only self.infer / self._col_thr / _decide_rows)."""
+    import types
+
+    fake = types.SimpleNamespace(infer=infer,
+                                 _col_thr=np.asarray(col_thr, np.float32))
+    fake._decide_rows = types.MethodType(InferencePipeline._decide_rows, fake)
+    sm, idx = InferencePipeline.smooth_probs(fake, probs)
+    return sm, idx
+
+
+def test_smooth_default_decides_on_renormalized_rows():
+    """Reference quirk preserved at the defaults: the post-smoothing
+    re-decision compares the RENORMALIZED rows against the scalar threshold
+    (inference_runner.py:300-325). Row [0.6, 0.1, 0.8] renormalizes to
+    [0.4, 0.067, 0.533]: no synthetic column is strong on the renormalized
+    scale, so the verdict is Real — even though the raw sigmoids would call
+    it synthetic."""
+    probs = np.tile(np.float32([0.6, 0.1, 0.8]), (5, 1))
+    sm, idx = _smooth_labels(probs, InferenceConfig(), [0.5, 0.5, 0.5])
+    np.testing.assert_allclose(sm.sum(axis=1), 1.0, atol=1e-6)
+    assert list(idx) == [2] * 5  # Real column index
+
+
+def test_smooth_custom_operating_points_decide_on_sigmoid_scale():
+    """Opt-in operating points are fit on the calibrated sigmoid scale, so
+    with --smooth the re-decision must run on the smoothed
+    PRE-renormalization values (the renormalized rows would be a scale
+    mismatch voiding the fitted thresholds). col_thr[SynA]=0.55: raw 0.6 is
+    strong => synthetic; the renormalized 0.4 would have (wrongly) read
+    Real."""
+    probs = np.tile(np.float32([0.6, 0.1, 0.8]), (5, 1))
+    infer = InferenceConfig(per_column_thresholds=True)
+    sm, idx = _smooth_labels(probs, infer, [0.55, 0.9, 0.5])
+    np.testing.assert_allclose(sm.sum(axis=1), 1.0, atol=1e-6)  # schema kept
+    assert list(idx) == [0] * 5  # SynA — decided on the sigmoid scale
+
+    # syn_override_k != 1 also engages the sigmoid-scale decision: with K=2
+    # a single strong column no longer overrides Real
+    infer_k2 = InferenceConfig(per_column_thresholds=True, syn_override_k=2)
+    _, idx_k2 = _smooth_labels(probs, infer_k2, [0.55, 0.9, 0.5])
+    assert list(idx_k2) == [2] * 5

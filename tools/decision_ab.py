@@ -82,10 +82,12 @@ def verdict_label(
 ) -> str:
     """Per-file majority label under the (generalized) unanimity rule —
     the same aggregation as infer/study.evaluate_tree (majority over
-    windows of pipeline._decide_rows verdicts)."""
+    windows of the SHARED ``pipeline.decide_rows`` — one implementation,
+    so the A/B tool cannot drift from serving)."""
+    from synthetic_audio_detection_tpu.infer.pipeline import decide_rows
+
     syn, real = probs[:, :-1], probs[:, -1]
-    strong = syn >= col_thr[:-1]
-    is_real = (real >= col_thr[-1]) & (strong.sum(axis=1) < max(k, 1))
+    is_real = decide_rows(syn, real, col_thr, k)
     idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
     labels = [class_names[j] for j in idx]
     return collections.Counter(labels).most_common(1)[0][0]
