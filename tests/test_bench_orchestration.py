@@ -46,6 +46,12 @@ def _timeout():
     return subprocess.TimeoutExpired(cmd="bench", timeout=1.0)
 
 
+def _host_stub(timeout):
+    """Deterministic host-feed result (the real one runs a subprocess)."""
+    return {"host_feed_segments_per_sec": 1031.3,
+            "host_feed_segments_per_sec_per_core": 1031.3}
+
+
 class _Clock:
     """Deterministic clock: each reading advances by `step` seconds."""
 
@@ -64,7 +70,7 @@ def test_happy_path_native_first_headline_is_value(bench):
         calls.append((mode, timeout))
         return {"headline": 6000.0, "fast": 19500.0, "native": 41000.0}[mode]
 
-    out = bench._orchestrate(run_sub=sub, clock=_Clock())
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
     assert out["value"] == 6000.0
     assert out["vs_baseline"] == round(6000.0 / 25000.0, 4)
     assert out["fast_256_segments_per_sec"] == 19500.0
@@ -86,7 +92,7 @@ def test_headline_timeout_no_retry_keeps_native_evidence(bench):
             return 41000.0
         raise _timeout()
 
-    out = bench._orchestrate(run_sub=sub, clock=_Clock())
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
     # exactly ONE headline attempt (hang mode: a retry would hang too),
     # fast skipped, but the measured native rides the zero line
     assert attempts == ["native", "headline"]
@@ -105,7 +111,7 @@ def test_native_timeout_does_not_abandon_headline(bench):
             raise _timeout()
         return {"headline": 6000.0, "fast": 19500.0}[mode]
 
-    out = bench._orchestrate(run_sub=sub, clock=_Clock())
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
     # the headline is the round record — it always gets its shot
     assert calls == ["native", "headline", "fast"]
     assert out["value"] == 6000.0
@@ -124,7 +130,7 @@ def test_headline_crash_retried_once_in_fresh_subprocess(bench):
             return 5900.0
         return {"fast": 19500.0, "native": 41000.0}[mode]
 
-    out = bench._orchestrate(run_sub=sub, clock=_Clock())
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
     assert len(attempts) == 2
     assert out["value"] == 5900.0
     assert out["native_segments_per_sec"] == 41000.0
@@ -140,7 +146,7 @@ def test_headline_double_crash_yields_zero_line_with_native(bench):
             return 41000.0
         raise subprocess.CalledProcessError(1, "bench")
 
-    out = bench._orchestrate(run_sub=sub, clock=_Clock())
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
     assert attempts == ["native", "headline", "headline"]
     assert out["value"] == 0.0
     assert out["native_segments_per_sec"] == 41000.0
@@ -155,7 +161,7 @@ def test_fast_crash_is_skipped_silently(bench):
             raise subprocess.CalledProcessError(1, "bench")
         return {"headline": 6000.0, "native": 41000.0}[mode]
 
-    out = bench._orchestrate(run_sub=sub, clock=_Clock())
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
     assert out["value"] == 6000.0
     assert out["native_segments_per_sec"] == 41000.0
     assert "fast_256_segments_per_sec" not in out
@@ -171,7 +177,7 @@ def test_total_deadline_caps_attempts_and_watchdogs(bench):
         calls.append((mode, timeout))
         return {"headline": 6000.0, "native": 41000.0, "fast": 19500.0}[mode]
 
-    out = bench._orchestrate(run_sub=sub, clock=_Clock(step=400.0))
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(step=400.0), run_host=_host_stub)
     assert out["value"] == 6000.0
     assert out["native_segments_per_sec"] == 41000.0
     modes = [m for m, _ in calls]
@@ -190,7 +196,8 @@ def test_deadline_already_spent_yields_zero_line_without_attempts(bench):
         return 6000.0
 
     out = bench._orchestrate(
-        run_sub=sub, clock=_Clock(step=bench.TOTAL_DEADLINE_SECS))
+        run_sub=sub, clock=_Clock(step=bench.TOTAL_DEADLINE_SECS),
+        run_host=_host_stub)
     assert calls == []
     assert out["value"] == 0.0
 
@@ -219,3 +226,80 @@ def test_process_group_kill_on_timeout():
             b._measure_mode_fresh_process("headline", timeout=2.0)
     # returns promptly despite the pipe-holding grandchild (killpg got both)
     assert time.monotonic() - t0 < 30.0
+
+
+def test_latency_and_host_keys_ride_the_line(bench):
+    """Round-5 policy: mode children may return dicts carrying the p50
+    per-clip latency halves of the BASELINE metric; the host-feed evidence
+    (decode half of 'end-to-end') is attached whenever budget remains."""
+
+    def sub(mode, timeout):
+        return {
+            "native": {"segments_per_sec": 41000.0,
+                       "p50_latency_ms_native": 0.42},
+            "headline": {"segments_per_sec": 6000.0,
+                         "p50_latency_ms_512": 3.1},
+            "fast": {"segments_per_sec": 23000.0},
+        }[mode]
+
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
+    assert out["value"] == 6000.0
+    assert out["p50_latency_ms_512"] == 3.1
+    assert out["native_segments_per_sec"] == 41000.0
+    assert out["p50_latency_ms_native"] == 0.42
+    assert out["host_feed_segments_per_sec"] == 1031.3
+    assert out["host_feed_segments_per_sec_per_core"] == 1031.3
+    assert out["fast_256_segments_per_sec"] == 23000.0
+
+
+def test_host_feed_runs_even_after_headline_timeout(bench):
+    """host_feed touches no device and no tunnel — a tunnel hang cannot
+    reach it, so the zero line still carries the host evidence."""
+    def sub(mode, timeout):
+        if mode == "native":
+            return 41000.0
+        raise _timeout()
+
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=_host_stub)
+    assert out["value"] == 0.0
+    assert out["host_feed_segments_per_sec"] == 1031.3
+    assert "fast_256_segments_per_sec" not in out
+
+
+def test_host_feed_failure_skipped_silently(bench):
+    def sub(mode, timeout):
+        return {"headline": 6000.0, "native": 41000.0, "fast": 23000.0}[mode]
+
+    def bad_host(timeout):
+        raise RuntimeError("no corpus")
+
+    out = bench._orchestrate(run_sub=sub, clock=_Clock(), run_host=bad_host)
+    assert out["value"] == 6000.0
+    assert "host_feed_segments_per_sec" not in out
+    assert out["fast_256_segments_per_sec"] == 23000.0
+
+
+def test_fresh_process_parses_json_child_line():
+    """Mode children print a one-line JSON dict; the parent must parse it
+    (and still accept the historical bare-float protocol)."""
+    import bench as b
+    from unittest import mock
+
+    real_popen = subprocess.Popen
+
+    def popen_json(cmd, **kw):
+        code = ("print('warmup noise');"
+                "print('{\"segments_per_sec\": 40456.0, "
+                "\"p50_latency_ms_native\": 0.43}')")
+        return real_popen([sys.executable, "-c", code], **kw)
+
+    with mock.patch.object(subprocess, "Popen", side_effect=popen_json):
+        out = b._measure_mode_fresh_process("native", timeout=30.0)
+    assert out == {"segments_per_sec": 40456.0, "p50_latency_ms_native": 0.43}
+
+    def popen_float(cmd, **kw):
+        return real_popen([sys.executable, "-c", "print(6295.6)"], **kw)
+
+    with mock.patch.object(subprocess, "Popen", side_effect=popen_float):
+        out = b._measure_mode_fresh_process("headline", timeout=30.0)
+    assert out == {"segments_per_sec": 6295.6}

@@ -96,3 +96,73 @@ def test_weak_scaling_program_invariance(rng):
     for n in (2, 4, 8):
         assert flops_per_device[n] == pytest.approx(base, rel=0.02), (
             f"per-device flops changed at n={n}: {flops_per_device}")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_weak_scaling_train_program_invariance():
+    """Train-step twin of the serving invariance test above (the round-4
+    GSPMD bug — full-batch all-gathers silently de-parallelizing layers —
+    was caught by exactly this test class). For the JOINT train step under
+    pure data parallelism at n=1/2/4/8 with per-device batch constant:
+
+    - the only collectives in the compiled program are all-reduces (the
+      gradient/batch-stat reductions); any all-gather / all-to-all /
+      collective-permute means GSPMD replicated work it should have kept
+      sharded;
+    - the all-reduce COUNT is invariant in n (one reduction per reduced
+      quantity, not per device);
+    - per-device flops are constant as n grows (weak scaling: each chip
+      runs the same program on its shard)."""
+    import re
+
+    from synthetic_audio_detection_tpu.train import joint
+    from synthetic_audio_detection_tpu.utils.config import (
+        SpecAugmentConfig,
+        TrainConfig,
+    )
+
+    per_device_batch = 2
+    spec = SpectrogramConfig(out_size=64)
+    stats = {}
+    for n in (1, 2, 4, 8):
+        cfg = TrainConfig(batch_size=n * per_device_batch)
+        state, tx = joint.init_joint_state(
+            "resnet18", 2, jax.random.PRNGKey(0), cfg, (64, 64))
+        step = jax.jit(joint.make_joint_train_step(
+            "resnet18", tx, cfg, spec, SpecAugmentConfig(enabled=False),
+            num_heads=2, stop_grad_stage=4))
+        mesh = sh.create_mesh(data_parallel=n, model_parallel=1,
+                              devices=jax.devices()[:n])
+        sharded_state = sh.replicate(mesh, state)
+        batch_sds = {
+            "audio": jax.ShapeDtypeStruct(
+                (cfg.batch_size, 32_000), jnp.float32,
+                sharding=sh.batch_sharded(mesh, 2)),
+            "label": jax.ShapeDtypeStruct(
+                (cfg.batch_size,), jnp.int32,
+                sharding=sh.batch_sharded(mesh, 1)),
+        }
+        compiled = step.lower(
+            sharded_state, batch_sds, jax.random.PRNGKey(1)).compile()
+        text = compiled.as_text()
+        bad = re.findall(
+            r"\b(all-gather|all-to-all|collective-permute|"
+            r"collective-broadcast)\b", text)
+        assert not bad, f"non-reduce collectives at n={n}: {set(bad)}"
+        n_allreduce = len(re.findall(r"\ball-reduce(?:-start)?\b", text))
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        stats[n] = (n_allreduce, float(cost.get("flops", 0.0)))
+
+    base_ar, base_flops = stats[1]
+    assert base_flops > 0.0
+    for n in (2, 4, 8):
+        ar, flops = stats[n]
+        assert flops == pytest.approx(base_flops, rel=0.02), (
+            f"per-device flops changed at n={n}: {stats}")
+        if n > 1:
+            # all-reduce count settles at n=2 and must not grow with n
+            assert ar == stats[2][0], (
+                f"all-reduce count grew with n: {stats}")
