@@ -71,6 +71,8 @@ def save_merged_native(path: str, ensemble: MultiHeadEnsemble) -> None:
         "shared_trunk_stages": ensemble.shared_trunk_stages,
         "format": "sad-tpu-merged-v1",
     }
+    if ensemble.generic_head:
+        metadata["generic_head"] = True
     if ensemble.calibration:
         metadata["calibration"] = dict(ensemble.calibration)
     save_native(path, ensemble.variables, metadata=metadata)
@@ -80,12 +82,14 @@ def load_merged_native(path: str) -> MultiHeadEnsemble:
     tree, meta = load_native(path)
     model = BinaryClassifier(backbone=meta.get("backbone", "resnet18"))
     tree = jax.tree_util.tree_map(np.asarray, tree)
-    num_heads = len(meta["class_names"]) - 1
+    generic = bool(meta.get("generic_head", False))
+    num_heads = len(meta["class_names"]) - 1 + int(generic)
     ens = build_ensemble(
         model,
         unstack_variables(tree, num_heads),
         meta["class_names"],
         detect_shared_backbone=bool(meta.get("shared_backbone", False)),
+        generic_head=generic,
     )
     # trunk sharing is recorded at save time (per_head_stages joint-trainer
     # artifacts) so the load skips the O(N·params) re-detection scan
@@ -106,9 +110,13 @@ def save_merged_torch(path: str, ensemble: MultiHeadEnsemble) -> None:
         [jax.tree_util.tree_map(np.asarray, v) for v in per_model]
     )
     metadata: Dict[str, Any] = {"class_names": list(ensemble.class_names)}
-    if ensemble.calibration:
+    if ensemble.generic_head:
         # extra metadata key; the reference loader reads only class_names
-        # (inference_runner.py:250-252), so its round-trip is unaffected
+        # (inference_runner.py:250-252), so its round-trip is unaffected —
+        # it would serve the generic head as an unnamed extra sub-model
+        metadata["generic_head"] = True
+    if ensemble.calibration:
+        # extra metadata key (same reasoning as generic_head above)
         metadata["calibration"] = dict(ensemble.calibration)
     torch_pickle.save({"state_dict": sd, "metadata": metadata}, path)
 
@@ -127,10 +135,14 @@ def load_merged_torch(path: str, backbone: str = "resnet18") -> MultiHeadEnsembl
         for s in subs
     ]
     class_names = list(meta.get("class_names", []))
-    if len(class_names) != len(subs) + 1:
+    generic = bool(isinstance(meta, dict) and meta.get("generic_head", False))
+    expect = len(subs) + 1 - int(generic)
+    if len(class_names) != expect:
+        generic = False
         class_names = [f"Synthetic_{i + 1}" for i in range(len(subs))] + ["Real"]
     model = BinaryClassifier(backbone=backbone)
-    ens = build_ensemble(model, variable_dicts, class_names)
+    ens = build_ensemble(model, variable_dicts, class_names,
+                         generic_head=generic)
     if isinstance(meta, dict) and meta.get("calibration"):
         ens = dataclasses.replace(ens, calibration=dict(meta["calibration"]))
     return ens

@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "class; submodel_trainer.py:463-511) — better attribution "
                    "needs hard negatives, novel-generator recall may prefer "
                    "plain OvR (docs/PERFORMANCE.md generalization study)")
+    p.add_argument("--generic-head", action="store_true",
+                   help="Train ONE extra Real-vs-any-synthetic head beyond "
+                   "the named classes (its positive is every synthetic "
+                   "class). Serving can decide Real/Synthetic from it via "
+                   "--generic-verdict; attribution stays per-specialist. "
+                   "The separability lever for unseen generators "
+                   "(docs/PERFORMANCE.md LOGO study)")
     from synthetic_audio_detection_tpu.utils.config import add_wave_augment_args
 
     add_wave_augment_args(p)
@@ -125,6 +132,7 @@ def main(argv=None) -> int:
         log_dir=args.log_dir or None,
         per_head_stages=args.per_head_stages,
         hard_negatives=args.hard_negatives,
+        generic_head=args.generic_head,
     )
     best = trainer.fit()
     print(f"Best ensemble validation accuracy: {best:.4f}")

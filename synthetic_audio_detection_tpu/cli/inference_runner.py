@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "operating points instead of the single --threshold "
                    "(needs tools/calibrate_ensemble.py "
                    "--store-column-thresholds).")
+    p.add_argument("--generic-verdict", action="store_true",
+                   help="Decide Real/Synthetic from the generic "
+                   "Real-vs-any-synthetic head (checkpoints trained with "
+                   "ensemble_trainer --generic-head); attribution stays "
+                   "per-specialist and the JSON schema is unchanged.")
     return p
 
 
@@ -132,6 +137,7 @@ def main(argv=None) -> int:
             apply_calibration=not args.no_calibration,
             syn_override_k=args.syn_override_k,
             per_column_thresholds=args.per_column_thresholds,
+            generic_verdict=args.generic_verdict,
         ),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )

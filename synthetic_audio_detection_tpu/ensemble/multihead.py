@@ -65,10 +65,17 @@ class MultiHeadEnsemble:
     # tools/calibrate_ensemble.py and carried in merged-checkpoint metadata.
     # None = the reference's raw-sigmoid behavior, bit-identical.
     calibration: Optional[Dict[str, Any]] = None
+    # Generic Real-vs-any-synthetic head (train/joint.py generic_head): one
+    # EXTRA stacked head beyond the named specialist classes, trained with
+    # 'any synthetic class' as its positive. Its column (index N, between
+    # the specialists and the real mean) never appears in the reference JSON
+    # schema; serving uses it only for the Real/Synthetic verdict when
+    # InferenceConfig.generic_verdict is set (infer/pipeline.py).
+    generic_head: bool = False
 
     @property
     def num_heads(self) -> int:
-        return len(self.class_names) - 1
+        return len(self.class_names) - 1 + int(self.generic_head)
 
     @property
     def synthetic_names(self) -> List[str]:
@@ -176,7 +183,12 @@ def build_ensemble(
     variable_dicts: List[Any],
     class_names: List[str],
     detect_shared_backbone: bool = True,
+    generic_head: bool = False,
 ) -> MultiHeadEnsemble:
+    if generic_head and len(variable_dicts) != len(class_names):
+        raise ValueError(
+            f"generic-head ensemble needs {len(class_names)} stacked heads "
+            f"(specialists + generic), got {len(variable_dicts)}")
     shared = detect_shared_backbone and backbones_identical(variable_dicts)
     trunk_k = 0
     if not shared and detect_shared_backbone:
@@ -187,6 +199,7 @@ def build_ensemble(
         class_names=list(class_names),
         shared_backbone=shared,
         shared_trunk_stages=trunk_k,
+        generic_head=generic_head,
     )
 
 
@@ -229,7 +242,13 @@ def fold_to_mono(ens: MultiHeadEnsemble) -> MultiHeadEnsemble:
 
 
 def _aggregate(logits_nh: jnp.ndarray) -> jnp.ndarray:
-    """[N, B, 2] per-head logits → [B, N+1] ensemble output."""
+    """[N, B, 2] per-head logits → [B, N+1] ensemble output.
+
+    For a generic-head ensemble N counts the generic head too: column
+    N_spec is the generic synthetic logit and the real mean (last column)
+    includes the generic head's real logit — the generic head IS a
+    real-vs-synthetic vote, so excluding it from the reference's mean
+    (model_merger.py:75-91) would discard its evidence."""
     syn = jnp.transpose(logits_nh[:, :, SYNTHETIC_INDEX])  # [B, N]
     real_mean = jnp.mean(logits_nh[:, :, REAL_INDEX], axis=0, keepdims=True).T  # [B, 1]
     return jnp.concatenate([syn, real_mean], axis=1)

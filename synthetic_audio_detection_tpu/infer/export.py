@@ -125,6 +125,7 @@ def export_serving(
 
     meta = {
         "class_names": list(ensemble.class_names),
+        "generic_head": bool(ensemble.generic_head),
         "backbone": ensemble.model.backbone,
         "entries": entries,
         "window_samples": audio.window_samples,

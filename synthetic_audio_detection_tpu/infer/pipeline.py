@@ -371,6 +371,7 @@ class InferencePipeline:
             model=None, variables=None,
             class_names=list(meta["class_names"]),
             calibration=meta.get("calibration") or None,
+            generic_head=bool(meta.get("generic_head", False)),
         )
         # host-side knobs (overlap, silence gate) come from the caller; the
         # sample rate is the artifact's — it defines what the exported
@@ -430,6 +431,20 @@ class InferencePipeline:
                 raise ValueError(
                     f"column_thresholds {ct.shape} vs {n_cols} columns")
             self._col_thr = ct
+        # split views for the decision layer: for a generic-head ensemble
+        # _col_thr covers [spec_1..spec_N, generic, real]; the standard rule
+        # sees the visible columns, the generic verdict its own slot
+        if self.ensemble.generic_head:
+            n_spec = len(self.ensemble.synthetic_names)
+            self._col_thr_vis = np.delete(self._col_thr, n_spec)
+            self._thr_generic = float(self._col_thr[n_spec])
+        else:
+            self._col_thr_vis = self._col_thr
+            self._thr_generic = float(self._col_thr[-1])
+        if self.infer.generic_verdict and not self.ensemble.generic_head:
+            raise ValueError(
+                "generic_verdict requires a checkpoint trained with a "
+                "generic head (ensemble_trainer --generic-head)")
 
     # -- bucketing ----------------------------------------------------------
 
@@ -622,12 +637,17 @@ class InferencePipeline:
         # variant for device-resident consumers.
         probs = (1.0 / (1.0 + np.exp(-np.asarray(logits, np.float32)))
                  ).astype(np.float32)
+        # a generic-head ensemble carries one extra column (the generic
+        # Real-vs-any-synthetic probability) between the specialists and the
+        # real mean; it feeds only the verdict — the visible columns keep
+        # the reference schema exactly
+        probs, generic = self._split_generic(probs)
         syn, real = probs[:, :-1], probs[:, -1]
-        is_real = self._decide_rows(syn, real)
+        is_real = self._decide_rows(syn, real, generic)
         label_idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
 
         if smooth:
-            probs, label_idx = self.smooth_probs(probs)
+            probs, label_idx = self.smooth_probs(probs, generic)
 
         labels = labels_from_indices(
             label_idx, self.ensemble.synthetic_names, self.ensemble.real_name
@@ -650,7 +670,22 @@ class InferencePipeline:
         }
         return {"segments": segments, "percentages": percentages}
 
-    def smooth_probs(self, probs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def _split_generic(
+        self, probs: np.ndarray
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """[B, C] probabilities → (visible [B, N+1], generic [B] or None).
+
+        For a generic-head ensemble C = N+2 with the generic column at
+        index N (ensemble/multihead.py:_aggregate); the visible columns are
+        the reference-schema specialists + real mean."""
+        if not self.ensemble.generic_head:
+            return probs, None
+        n_spec = len(self.ensemble.synthetic_names)
+        return np.delete(probs, n_spec, axis=1), probs[:, n_spec]
+
+    def smooth_probs(
+        self, probs: np.ndarray, generic: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Gaussian-smooth per output dim across the window axis, renormalize
         rows, re-decide labels (inference_runner.py:300-325).
 
@@ -670,20 +705,41 @@ class InferencePipeline:
         sm = sm_raw / np.maximum(row_sums, 1e-8)
         n = probs.shape[1] - 1
         custom_points = (self.infer.per_column_thresholds
-                         or int(self.infer.syn_override_k) != 1)
+                         or int(self.infer.syn_override_k) != 1
+                         or self.infer.generic_verdict)
         decide_on = sm_raw if custom_points else sm
+        if generic is not None:
+            # the generic column rides the same smoothing (it is never part
+            # of the renormalized rows — sigmoid scale throughout)
+            generic = np.asarray(gaussian_filter1d(
+                jnp.asarray(generic[:, None]), self.infer.smooth_sigma,
+                axis=0))[:, 0]
         # after renormalization the reference re-applies the same rule with
         # the configured threshold compared against the renormalized values
         # directly (the quirk documented above)
-        is_real = self._decide_rows(decide_on[:, :n], decide_on[:, n])
+        is_real = self._decide_rows(decide_on[:, :n], decide_on[:, n], generic)
         label_idx = np.where(is_real, n, decide_on[:, :n].argmax(axis=1))
         return sm, label_idx
 
-    def _decide_rows(self, syn: np.ndarray, real: np.ndarray) -> np.ndarray:
+    def _decide_rows(
+        self, syn: np.ndarray, real: np.ndarray,
+        generic: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         """Row verdicts via the module-level :func:`decide_rows` (one shared
         implementation of the rule — tools/decision_ab.py evaluates the same
-        function offline, so the A/B tool cannot drift from serving)."""
-        return decide_rows(syn, real, self._col_thr,
+        function offline, so the A/B tool cannot drift from serving).
+
+        ``syn``/``real`` are the VISIBLE columns (generic column already
+        split out); with ``infer.generic_verdict`` the verdict comes from
+        the generic head instead: Real iff its synthetic probability is
+        below its threshold (``_col_thr``'s generic slot)."""
+        if self.infer.generic_verdict:
+            if generic is None:
+                raise ValueError(
+                    "generic_verdict requires an ensemble trained with a "
+                    "generic head (train/joint.py --generic-head)")
+            return generic < self._thr_generic
+        return decide_rows(syn, real, self._col_thr_vis,
                            int(self.infer.syn_override_k))
 
 

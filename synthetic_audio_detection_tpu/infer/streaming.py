@@ -184,8 +184,11 @@ class StreamingAnalyzer:
         # + decision rule (pipeline._decide_rows — unanimity at the config
         # defaults, incl. the per-column-threshold / K-of-N extensions)
         probs = (1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
+        # generic-head ensembles: split the generic column exactly as
+        # analyze_windows does (visible columns keep the reference schema)
+        probs, generic = self._p._split_generic(probs)
         syn, real = probs[:, :-1], probs[:, -1]
-        is_real = self._p._decide_rows(syn, real)
+        is_real = self._p._decide_rows(syn, real, generic)
         idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
         labels = labels_from_indices(
             idx, self._p.ensemble.synthetic_names, self._p.ensemble.real_name

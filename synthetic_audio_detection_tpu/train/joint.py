@@ -176,7 +176,8 @@ def init_joint_state(
 
 
 def per_head_own_mask(
-    labels: jnp.ndarray, num_heads: int, weights: Optional[jnp.ndarray]
+    labels: jnp.ndarray, num_heads: int, weights: Optional[jnp.ndarray],
+    generic_head: bool = False,
 ) -> jnp.ndarray:
     """[N, B] 0/1: head i sees only Real and its own class — the reference's
     per-head data regime (each submodel_trainer run loads ONLY Class0+Class1
@@ -184,22 +185,42 @@ def per_head_own_mask(
     with the batch pad mask when present. NOTE: BN batch statistics still
     see every row (the joint trainer shares one forward); the loss masking
     removes the hard-negative LABEL pressure, which is the behavioral
-    difference between the two recipes."""
-    heads = jnp.arange(1, num_heads + 1, dtype=labels.dtype)[:, None]
+    difference between the two recipes.
+
+    With ``generic_head`` the LAST of ``num_heads`` heads is the generic
+    Real-vs-any-synthetic head: every class is its own class, so its mask
+    row is all-ones (times the pad mask)."""
+    n_spec = num_heads - int(generic_head)
+    heads = jnp.arange(1, n_spec + 1, dtype=labels.dtype)[:, None]
     own = (labels[None, :] == 0) | (labels[None, :] == heads)
     w = own.astype(jnp.float32)
+    if generic_head:
+        w = jnp.concatenate([w, jnp.ones((1, labels.shape[0]), jnp.float32)], 0)
     if weights is not None:
         w = w * weights.astype(jnp.float32)[None, :]
     return w
 
 
-def per_head_binary_labels(labels: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+def per_head_binary_labels(
+    labels: jnp.ndarray, num_heads: int, generic_head: bool = False
+) -> jnp.ndarray:
     """Corpus label c ∈ {0=Real, 1..N=synthetic class i} → [N, B] binary
     targets: head i's positive (=1=SYNTHETIC_INDEX) iff c == i+1; Real and
     every OTHER generator are its negatives (the hard-negative contract,
-    data/dataset.py:list_samples)."""
-    heads = jnp.arange(1, num_heads + 1, dtype=labels.dtype)[:, None]
-    return (labels[None, :] == heads).astype(jnp.int32)
+    data/dataset.py:list_samples).
+
+    With ``generic_head`` the LAST of ``num_heads`` heads is the generic
+    detector (positive iff c != 0 — ANY synthetic class): its training
+    signal rewards generator-agnostic artifact cues, the separability lever
+    the LOGO study motivated (docs/PERFORMANCE.md: unseen-generator AUC is
+    chance-level for specialist heads in both label regimes)."""
+    n_spec = num_heads - int(generic_head)
+    heads = jnp.arange(1, n_spec + 1, dtype=labels.dtype)[:, None]
+    y = (labels[None, :] == heads).astype(jnp.int32)
+    if generic_head:
+        y = jnp.concatenate(
+            [y, (labels[None, :] != 0).astype(jnp.int32)], axis=0)
+    return y
 
 
 def _head_forward_train(
@@ -252,8 +273,14 @@ def make_joint_train_step(
     dtype: Any = jnp.float32,
     per_head_stages: int = 0,
     hard_negatives: bool = True,
+    generic_head: bool = False,
 ) -> Callable:
     """joint_step(state, batch, rng) -> (state, metrics).
+
+    generic_head=True marks the LAST of num_heads stacked heads as the
+    generic Real-vs-any-synthetic detector (per_head_binary_labels): the
+    caller supplies num_heads = n_specialists + 1 and the generic head
+    shares the trunk/step machinery of every other head.
 
     hard_negatives=False restores the reference's plain-OvR regime via
     per_head_own_mask: each head's loss sees only Real + its own class
@@ -286,9 +313,10 @@ def make_joint_train_step(
         )
         labels = batch["label"]
         weights = batch.get("weight")
-        y_nb = per_head_binary_labels(labels, num_heads)  # [N, B]
+        y_nb = per_head_binary_labels(labels, num_heads, generic_head)  # [N, B]
         w_nb = (None if hard_negatives
-                else per_head_own_mask(labels, num_heads, weights))
+                else per_head_own_mask(labels, num_heads, weights,
+                                       generic_head))
         drop_rngs = jax.random.split(rng_drop, num_heads)
 
         def loss_fn(params):
@@ -369,12 +397,19 @@ def make_joint_eval_step(
     dtype: Any = jnp.float32,
     per_head_stages: int = 0,
     hard_negatives: bool = True,
+    generic_head: bool = False,
 ) -> Callable:
     """eval_step(state_vars, batch) → per-head sufficient statistics AND the
     ensemble verdict in one program: per-head [N,2,2] confusion, per-head
     sigmoid scores (for AUC/EER), and the aggregated [B, N+1] decision's
     attribution correctness (ensemble/multihead.py:_aggregate + decide — the
-    quantity tools/accuracy_study.py measures offline)."""
+    quantity tools/accuracy_study.py measures offline).
+
+    With ``generic_head`` the last head is the generic detector: ensemble
+    attribution aggregates the SPECIALIST heads only (the generic head has
+    no attribution meaning), and the detector score (AUC/EER basis) is the
+    generic head's synthetic probability instead of 1 - sigmoid(real mean)
+    — the quantity the LOGO A/B compares against the specialist rule."""
 
     head = BinaryHead(dtype=dtype)
     t_last = trunk_last_stage(model_name, per_head_stages)
@@ -419,12 +454,13 @@ def make_joint_eval_step(
         logits_nb = jax.vmap(one)(
             variables["params"]["heads"], variables["batch_stats"]["heads"]
         )  # [N, B, 2]
-        y_nb = per_head_binary_labels(labels, num_heads)
+        y_nb = per_head_binary_labels(labels, num_heads, generic_head)
         # per-head statistics over that head's OWN evaluation set: all rows
         # in hard-negative mode, only Real + its class in plain-OvR mode
         # (matching what each regime's loss optimizes)
         w_nb = (jnp.broadcast_to(w[None, :], y_nb.shape) if hard_negatives
-                else per_head_own_mask(labels, num_heads, weights))
+                else per_head_own_mask(labels, num_heads, weights,
+                                       generic_head))
         logp = jax.nn.log_softmax(logits_nb.astype(jnp.float32), -1)
         nll = -jnp.take_along_axis(logp, y_nb[..., None], -1)[..., 0]  # [N, B]
         loss_sum = (nll * w_nb).sum(1)  # [N]
@@ -435,14 +471,23 @@ def make_joint_eval_step(
         )
         conf = conf.at[head_idx, y_nb, pred].add(w_nb)
 
-        # ensemble verdict (aggregation + sigmoid-unanimity rule)
-        agg = multihead._aggregate(logits_nb)  # [B, N+1]
+        # ensemble verdict (aggregation + sigmoid-unanimity rule) over the
+        # SPECIALIST heads; the generic head carries no attribution meaning
+        n_spec = num_heads - int(generic_head)
+        agg = multihead._aggregate(logits_nb[:n_spec])  # [B, n_spec+1]
         verdict = multihead.decide(agg)
-        # corpus label 0 (Real) ↔ ensemble index N; class i ↔ index i-1
-        true_idx = jnp.where(labels == 0, num_heads, labels - 1)
+        # corpus label 0 (Real) ↔ ensemble index n_spec; class i ↔ index i-1
+        true_idx = jnp.where(labels == 0, n_spec, labels - 1)
         ens_correct = ((verdict["label_idx"] == true_idx).astype(jnp.float32) * w).sum()
-        # any-synthetic detector score = 1 - sigmoid(real_mean)
-        det_score = 1.0 - jax.nn.sigmoid(agg[:, -1].astype(jnp.float32))
+        if generic_head:
+            # detector score = the generic head's synthetic probability —
+            # the separability quantity the generic head exists to improve
+            det_score = jax.nn.softmax(
+                logits_nb[-1].astype(jnp.float32), axis=-1
+            )[:, multihead.SYNTHETIC_INDEX]
+        else:
+            # any-synthetic detector score = 1 - sigmoid(real_mean)
+            det_score = 1.0 - jax.nn.sigmoid(agg[:, -1].astype(jnp.float32))
         return {
             "loss_sum": loss_sum,
             "confusion": conf,
@@ -482,11 +527,13 @@ class JointTrainer:
         use_mesh: bool = True,
         per_head_stages: int = 0,
         hard_negatives: bool = True,
+        generic_head: bool = False,
     ):
         if not synthetic_classes:
             raise ValueError("need at least one synthetic class")
         self.per_head_stages = per_head_stages
         self.hard_negatives = hard_negatives
+        self.generic_head = generic_head
         self.cfg = cfg
         self.spec_cfg = spec_cfg or SpectrogramConfig.train()
         self.augment = augment or SpecAugmentConfig()
@@ -494,9 +541,11 @@ class JointTrainer:
         self.synthetic_classes = list(synthetic_classes)
         self.corpus_classes = [real_class] + self.synthetic_classes
         # merged-checkpoint metadata contract: [syn_1..syn_N, real]
-        # (model_merger.py:153-159)
+        # (model_merger.py:153-159); the generic head is an EXTRA stacked
+        # head beyond the named classes (its column never appears in the
+        # reference JSON schema — ensemble/multihead.py generic_head)
         self.class_names = self.synthetic_classes + [real_class]
-        self.num_heads = len(self.synthetic_classes)
+        self.num_heads = len(self.synthetic_classes) + int(generic_head)
         self.model_name = model_name
         self.dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                       else jnp.float32)
@@ -523,7 +572,7 @@ class JointTrainer:
         self._eval_step = jax.jit(make_joint_eval_step(
             model_name, self.spec_cfg, self.num_heads, dtype=self.dtype,
             dft_mode=self._dft_mode(), per_head_stages=per_head_stages,
-            hard_negatives=hard_negatives,
+            hard_negatives=hard_negatives, generic_head=generic_head,
         ))
         self.writer = SummaryWriter(
             log_dir or os.path.join("runs", f"joint_{int(time.time())}")
@@ -549,6 +598,7 @@ class JointTrainer:
                 stop_grad_stage=stage, dft_mode=self._dft_mode(),
                 dtype=self.dtype, per_head_stages=self.per_head_stages,
                 hard_negatives=self.hard_negatives,
+                generic_head=self.generic_head,
             ),
             donate_argnums=(0,),
         )
@@ -600,7 +650,8 @@ class JointTrainer:
         from synthetic_audio_detection_tpu.models.classifier import BinaryClassifier
 
         model = BinaryClassifier(backbone=self.model_name, dtype=self.dtype)
-        return multihead.build_ensemble(model, per_head, self.class_names)
+        return multihead.build_ensemble(model, per_head, self.class_names,
+                                        generic_head=self.generic_head)
 
     def save_checkpoint(self, epoch: int, path: str) -> None:
         """Native resume checkpoint + merged serving artifacts: `<path>` is
@@ -620,6 +671,7 @@ class JointTrainer:
             "class_names": self.class_names,
             "num_heads": self.num_heads,
             "per_head_stages": self.per_head_stages,
+            "generic_head": self.generic_head,
             "format": "sad-tpu-joint-v1",
         }
         serialization.save_native(path, payload, metadata=meta)
@@ -638,6 +690,12 @@ class JointTrainer:
             raise ValueError(
                 f"{path}: checkpoint per_head_stages={ckpt_phs} but trainer "
                 f"was built with per_head_stages={self.per_head_stages}"
+            )
+        ckpt_gen = bool(meta.get("generic_head", False))
+        if ckpt_gen != self.generic_head:
+            raise ValueError(
+                f"{path}: checkpoint generic_head={ckpt_gen} but trainer "
+                f"was built with generic_head={self.generic_head}"
             )
         self.state = self.state.replace(
             params=tree["variables"]["params"],

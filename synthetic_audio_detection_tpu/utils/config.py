@@ -319,6 +319,13 @@ class InferenceConfig:
     # operating points ("column_thresholds", utils/calibration.py) in place
     # of the single scalar threshold. Requires a calibrated checkpoint.
     per_column_thresholds: bool = False
+    # generic_verdict — decide Real/Synthetic from the generic
+    # Real-vs-any-synthetic head's probability (requires an ensemble trained
+    # with train/joint.py generic_head): Real iff sigmoid(generic) < its
+    # threshold. Attribution stays per-specialist-head; the generic column
+    # never appears in the JSON schema. Off = reference unanimity rule over
+    # the specialists (the generic column is then ignored entirely).
+    generic_verdict: bool = False
 
 
 @dataclass(frozen=True)

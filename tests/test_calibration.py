@@ -262,8 +262,8 @@ def test_syn_override_k(tiny_ensemble):
     k2 = _pipe(tiny_ensemble, syn_override_k=2)
     # note: tiny_ensemble has 2 heads but _decide_rows is shape-generic on
     # its inputs; thresholds broadcast from the scalar default
-    k1._col_thr = np.full(4, 0.5, np.float32)
-    k2._col_thr = np.full(4, 0.5, np.float32)
+    k1._col_thr_vis = np.full(4, 0.5, np.float32)
+    k2._col_thr_vis = np.full(4, 0.5, np.float32)
     np.testing.assert_array_equal(
         k1._decide_rows(syn, real), [False, False, True])
     np.testing.assert_array_equal(

@@ -232,8 +232,10 @@ def _smooth_labels(probs, infer, col_thr):
     method touches only self.infer / self._col_thr / _decide_rows)."""
     import types
 
-    fake = types.SimpleNamespace(infer=infer,
-                                 _col_thr=np.asarray(col_thr, np.float32))
+    thr = np.asarray(col_thr, np.float32)
+    fake = types.SimpleNamespace(infer=infer, _col_thr=thr,
+                                 _col_thr_vis=thr,
+                                 _thr_generic=float(thr[-1]))
     fake._decide_rows = types.MethodType(InferencePipeline._decide_rows, fake)
     sm, idx = InferencePipeline.smooth_probs(fake, probs)
     return sm, idx
