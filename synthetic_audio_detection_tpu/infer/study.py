@@ -117,7 +117,8 @@ def evaluate_tree(
             windows, stamps = slice_waveform(wf, pipe.audio)
             if windows.shape[0] == 0:
                 continue
-            res = pipe.analyze_windows(windows, stamps)
+            logits = pipe.logits_for_windows(windows)
+            res = pipe.analyze_windows(windows, stamps, logits=logits)
             labels = [s["label"] for s in res["segments"]]
             label = collections.Counter(labels).most_common(1)[0][0]
             is_real_true = cls == real_name
@@ -132,9 +133,27 @@ def evaluate_tree(
                 per_class[cls][2] += 1
             confusion[(cls, label)] += 1
             if res["percentages"]:
-                # synthetic-ness score = 1 - mean real sigmoid (the unanimity
-                # rule's primary axis) — feeds threshold-free AUC/EER
-                det_scores.append(1.0 - res["percentages"][real_name] / 100.0)
+                if pipe.ensemble.generic_head and pipe.infer.generic_verdict:
+                    # generic-head arm: the threshold-free detector score is
+                    # the generic head's mean calibrated synthetic
+                    # probability — the ranking quantity the generic head
+                    # exists to improve (train/joint.py generic_head)
+                    cal_logits = logits
+                    if pipe._cal is not None:
+                        from synthetic_audio_detection_tpu.utils.calibration \
+                            import apply_calibration
+
+                        cal_logits = np.asarray(
+                            apply_calibration(logits, pipe._cal), np.float32)
+                    probs = (1.0 / (1.0 + np.exp(
+                        -cal_logits.astype(np.float32))))
+                    _, gen = pipe._split_generic(probs)
+                    det_scores.append(float(gen.mean()))
+                else:
+                    # synthetic-ness score = 1 - mean real sigmoid (the
+                    # unanimity rule's primary axis) — threshold-free AUC/EER
+                    det_scores.append(
+                        1.0 - res["percentages"][real_name] / 100.0)
                 det_truth.append(not is_real_true)
 
     out: Dict[str, Any] = {

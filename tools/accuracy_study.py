@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--per-column-thresholds", action="store_true",
                    help="Use the checkpoint calibration's per-column EER "
                    "operating points as the decision thresholds")
+    p.add_argument("--generic-verdict", action="store_true",
+                   help="Decide Real/Synthetic from the generic head "
+                   "(ensembles trained with ensemble_trainer --generic-head)"
+                   "; the detector AUC/EER score becomes the generic head's "
+                   "probability")
     p.add_argument("--no-calibration", action="store_true")
     args = p.parse_args(argv)
 
@@ -74,6 +79,7 @@ def main(argv=None) -> int:
             apply_calibration=not args.no_calibration,
             syn_override_k=args.syn_override_k,
             per_column_thresholds=args.per_column_thresholds,
+            generic_verdict=args.generic_verdict,
         ),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
@@ -82,6 +88,7 @@ def main(argv=None) -> int:
         "dtype": "bf16" if args.bf16 else "f32",
         "decision": {"syn_override_k": args.syn_override_k,
                      "per_column_thresholds": args.per_column_thresholds,
+                     "generic_verdict": args.generic_verdict,
                      "threshold": args.threshold,
                      "calibration": not args.no_calibration},
         **evaluate_tree(pipe, args.data_dir),
