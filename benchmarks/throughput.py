@@ -73,6 +73,8 @@ def bench_config(
     mel_stack: bool = False,
     mel_factored: bool = False,
     mel_lowp: bool = False,
+    mel_bf16asm: bool = False,
+    mel_stackdft: bool = False,
     dft_mode: str = "",
     trunk_stages: int = 0,
 ) -> dict:
@@ -100,7 +102,9 @@ def bench_config(
             if use_pallas and mel_factored:
                 z = fused_log_mel_factored(windows, spec, 32_000,
                                            windows_per_cell=mel_wpc,
-                                           lowp_tail=mel_lowp)
+                                           lowp_tail=mel_lowp,
+                                           assemble_bf16=mel_bf16asm,
+                                           stack_dft=mel_stackdft)
             elif use_pallas:
                 z = fused_log_mel(windows, spec, 32_000,
                                   windows_per_cell=mel_wpc,
@@ -372,6 +376,30 @@ PRESETS = {
     "melfct4-lowp": dict(batch=128, heads=1, input_size=0, dtype="bf16",
                          use_pallas=True, shared_backbone=True, melonly=True,
                          mel_factored=True, mel_wpc=4, mel_lowp=True),
+    # round-5 assembly-cost variants (the 0.77 ms vs ~0.3 ms matmul-bound
+    # gap is VPU elementwise passes — docs/PERFORMANCE.md native ceiling):
+    # bf16 assembly halves the per-pass lane cost; stack_dft fuses the wpc
+    # per-window DFT matmuls into one wide-M matmul per grid cell
+    "melfct4-bf16asm": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                            use_pallas=True, shared_backbone=True,
+                            melonly=True, mel_factored=True, mel_wpc=4,
+                            mel_bf16asm=True),
+    "melfct4-stackdft": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                             use_pallas=True, shared_backbone=True,
+                             melonly=True, mel_factored=True, mel_wpc=4,
+                             mel_stackdft=True),
+    "melfct4-asm-stack": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                              use_pallas=True, shared_backbone=True,
+                              melonly=True, mel_factored=True, mel_wpc=4,
+                              mel_bf16asm=True, mel_stackdft=True),
+    "melfct8-asm-stack": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                              use_pallas=True, shared_backbone=True,
+                              melonly=True, mel_factored=True, mel_wpc=8,
+                              mel_bf16asm=True, mel_stackdft=True),
+    "melfct4-asm-lowp": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                             use_pallas=True, shared_backbone=True,
+                             melonly=True, mel_factored=True, mel_wpc=4,
+                             mel_bf16asm=True, mel_lowp=True),
     "fastpath-mono-native-lowp": dict(batch=128, heads=6, input_size=0,
                                       dtype="bf16", use_pallas=True,
                                       shared_backbone=True,

@@ -186,6 +186,9 @@ def _factored_kernel(
     a_one: tuple = (),
     standardize: bool = True,
     lowp_tail: bool = False,
+    assemble_bf16: bool = False,
+    stack_dft: bool = False,
+    nb_rows: int = 0,
 ):
     """Factored (shared hop-block) GEMM-DFT mel kernel.
 
@@ -196,9 +199,27 @@ def _factored_kernel(
     frames are assembled from k4 shifted row-slices with the {0,±1} phase
     masks (VPU), and the periodic-Hann window is the exact 3-tap frequency
     conv 0.5·X[f] − 0.25·X[f−1] − 0.25·X[f+1] via lane rolls (pltpu.roll),
-    with the f=0 tap fixed to conj(X[1]) by a lane-0 select."""
+    with the f=0 tap fixed to conj(X[1]) by a lane-0 select.
+
+    Round-5 throughput knobs (the 51-iter native stage decomposition put
+    this kernel at 0.77 ms vs a ~0.3 ms pure-matmul bound — the gap is the
+    VPU assembly passes, docs/PERFORMANCE.md):
+      assemble_bf16 — run the phase combine + window conv + power in bf16
+        (2 elements/lane on the VPU halves the pass cost of the dominant
+        [f_pad, n_bins] elementwise stage); the DFT matmul still
+        accumulates in f32 and the mel matmul input is cast back per
+        lowp_tail. Phase factors are exactly representable ({0,±1} and
+        short cosines), so the error budget is the bf16 rounding of y
+        (~0.4% rel) — bounded by the same argument as lowp_tail.
+      stack_dft — ONE [wpc·nb, hop]×[hop, 2·n_bins] DFT matmul per grid
+        cell instead of wpc separate M≈256 matmuls (wider M fills the MXU;
+        per-window row slices come off the shared product; frame rows that
+        cross a window boundary read the next window's rows and are masked
+        dead by standardize's valid mask exactly like the zero-pad rows).
+    """
     n_bins = cs_ref.shape[1] // 2
     wpc = windows_per_cell
+    asm_t = jnp.bfloat16 if assemble_bf16 else jnp.float32
 
     def standardize_to(mel, w: int):
         rows = jax.lax.broadcasted_iota(jnp.int32, mel.shape, 0) < n_frames
@@ -218,15 +239,36 @@ def _factored_kernel(
         z = (db - mean) / (jnp.sqrt(var) + eps)
         out_ref[w, :, :] = jnp.where(valid, z, 0.0).astype(out_ref.dtype)
 
+    y_all = None
+    if stack_dft:
+        x = wave_ref[:, :, :]
+        r = x.reshape((x.shape[0] * x.shape[1] * x.shape[2]) // hop, hop)
+        y_all = jnp.dot(r.astype(jnp.bfloat16), cs_ref[:, :],
+                        preferred_element_type=jnp.float32)  # [wpc*nb, 2nb]
+
     for w in range(wpc):
-        x = wave_ref[w, :, :]
-        r = x.reshape((x.shape[0] * x.shape[1]) // hop, hop)
-        if rows_pad != r.shape[0]:
-            r = jnp.pad(r, ((0, rows_pad - r.shape[0]), (0, 0)))
-        y = jnp.dot(r.astype(jnp.bfloat16), cs_ref[:, :],
-                    preferred_element_type=jnp.float32)   # [rows_pad, 2*n_bins]
-        x_re = jnp.zeros((f_pad, n_bins), jnp.float32)
-        x_im = jnp.zeros((f_pad, n_bins), jnp.float32)
+        if stack_dft:
+            # this window's rows of the shared product; frames needing rows
+            # past the window's nb_rows read into the NEXT window's block
+            # (or the final zero pad) — all such frames are ≥ n_frames and
+            # masked dead in standardize, same as zero-pad rows
+            need = f_pad + k4 - 1
+            avail = y_all.shape[0] - w * nb_rows
+            y = jax.lax.slice_in_dim(
+                y_all, w * nb_rows, w * nb_rows + min(need, avail), axis=0)
+            if avail < need:
+                y = jnp.pad(y, ((0, need - avail), (0, 0)))
+        else:
+            x = wave_ref[w, :, :]
+            r = x.reshape((x.shape[0] * x.shape[1]) // hop, hop)
+            if rows_pad != r.shape[0]:
+                r = jnp.pad(r, ((0, rows_pad - r.shape[0]), (0, 0)))
+            y = jnp.dot(r.astype(jnp.bfloat16), cs_ref[:, :],
+                        preferred_element_type=jnp.float32)  # [rows_pad, 2nb]
+        if assemble_bf16:
+            y = y.astype(jnp.bfloat16)
+        x_re = jnp.zeros((f_pad, n_bins), asm_t)
+        x_im = jnp.zeros((f_pad, n_bins), asm_t)
         for i in range(k4):
             yi = jax.lax.slice_in_dim(y, i, i + f_pad, axis=0)
             yre = jax.lax.slice_in_dim(yi, 0, n_bins, axis=1)
@@ -235,12 +277,12 @@ def _factored_kernel(
                 x_re = x_re + yre
                 x_im = x_im + yim
             elif i in b_zero:              # c_i real (±1 lane pattern)
-                a = ab_ref[i, :][None, :]
+                a = ab_ref[i, :][None, :].astype(asm_t)
                 x_re = x_re + a * yre
                 x_im = x_im + a * yim
             else:                          # full complex multiply-accumulate
-                a = ab_ref[i, :][None, :]
-                b = ab_ref[k4 + i, :][None, :]
+                a = ab_ref[i, :][None, :].astype(asm_t)
+                b = ab_ref[k4 + i, :][None, :].astype(asm_t)
                 x_re = x_re + a * yre - b * yim
                 x_im = x_im + a * yim + b * yre
         # periodic Hann as the exact 3-tap conv in frequency
@@ -251,9 +293,13 @@ def _factored_kernel(
         lane0 = jax.lax.broadcasted_iota(jnp.int32, x_re.shape, 1) == 0
         r_re = jnp.where(lane0, l_re, r_re)          # X[−1] = conj(X[1])
         r_im = jnp.where(lane0, -l_im, r_im)
-        w_re = 0.5 * x_re - 0.25 * (r_re + l_re)
-        w_im = 0.5 * x_im - 0.25 * (r_im + l_im)
-        power = w_re * w_re + w_im * w_im            # [f_pad, n_bins]
+        half = jnp.asarray(0.5, asm_t)
+        quarter = jnp.asarray(0.25, asm_t)
+        w_re = half * x_re - quarter * (r_re + l_re)
+        w_im = half * x_im - quarter * (r_im + l_im)
+        power = (w_re.astype(jnp.float32) * w_re.astype(jnp.float32)
+                 + w_im.astype(jnp.float32) * w_im.astype(jnp.float32)
+                 ) if assemble_bf16 else (w_re * w_re + w_im * w_im)
         if lowp_tail:
             # bf16 mel matmul (f32 accumulate): one MXU pass instead of the
             # bf16x3 decomposition XLA uses for an f32 dot. Power values span
@@ -276,6 +322,8 @@ def fused_log_mel_factored(
     windows_per_cell: int = 4,
     standardize: bool = True,
     lowp_tail: bool = False,
+    assemble_bf16: bool = False,
+    stack_dft: bool = False,
 ) -> jnp.ndarray:
     """Factored-DFT variant of fused_log_mel: same output (float tolerance),
     ~4× fewer DFT MACs. See _factored_kernel.
@@ -342,6 +390,9 @@ def fused_log_mel_factored(
         a_one=a_one,
         standardize=standardize,
         lowp_tail=lowp_tail,
+        assemble_bf16=assemble_bf16,
+        stack_dft=stack_dft,
+        nb_rows=padded // hop,
     )
     out = pl.pallas_call(
         kernel,
@@ -373,11 +424,22 @@ def serving_log_mel(
     lowp_tail: bool = False,
 ) -> jnp.ndarray:
     """The serving pipelines' mel kernel: the measured-best fused variant
-    (currently the factored-DFT kernel at its default wpc). One symbol so
-    infer/pipeline.py, bench.py, and the benchmark fastpath configs all move
-    together when the measured winner changes."""
+    (the factored-DFT kernel at its default wpc; the round-5 assembly
+    variants engage via the SERVING_* gates below once measured). One
+    symbol so infer/pipeline.py, bench.py, and the benchmark fastpath
+    configs all move together when the measured winner changes."""
     return fused_log_mel_factored(waveforms, cfg, sample_rate,
-                                  interpret=interpret, lowp_tail=lowp_tail)
+                                  interpret=interpret, lowp_tail=lowp_tail,
+                                  stack_dft=SERVING_STACK_DFT,
+                                  assemble_bf16=SERVING_ASSEMBLE_BF16)
+
+
+# serving-kernel variant gates: set from measured composite A/Bs on chip
+# (round-5 session; see docs/PERFORMANCE.md front-end section). Module
+# constants rather than call args so every serving consumer (pipeline,
+# bench, benchmarks) flips together.
+SERVING_STACK_DFT = False
+SERVING_ASSEMBLE_BF16 = False
 
 
 def fused_log_mel(

@@ -183,3 +183,53 @@ def test_train_features_pallas_mode_matches_gemm(rng):
     assert a.shape == b.shape
     assert float(np.mean(np.abs(a - b))) < 5e-3
     np.testing.assert_allclose(a, b, atol=0.2)
+
+
+def test_factored_kernel_stack_dft_parity(rng):
+    """stack_dft=True (ONE M-stacked DFT matmul per grid cell) is
+    numerically identical: each row's dot product is independent of the
+    matmul's M, and the frame rows that cross a window boundary (reading
+    the next window's rows instead of the zero pad) are all >= n_frames —
+    masked dead by the standardize valid mask, exactly like the pad rows."""
+    cfg = SpectrogramConfig(mel_norm="slaney", out_size=0)
+    for T in (128_000, 32_000):
+        x = (rng.standard_normal((4, T)) * 0.3).astype(np.float32)
+        base = np.asarray(
+            fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True))
+        for wpc in (1, 2, 4):
+            got = np.asarray(fused_log_mel_factored(
+                jnp.asarray(x), cfg, interpret=True, windows_per_cell=wpc,
+                stack_dft=True))
+            # same math per row; the CPU interpreter's dot re-tiles at the
+            # different M and rounds a handful of entries at the 1e-6 level
+            # (observed only under the 8-virtual-device CPU config)
+            np.testing.assert_allclose(got, base, atol=1e-5, rtol=0)
+
+
+def test_factored_kernel_assemble_bf16_parity(rng):
+    """assemble_bf16=True (phase combine + window conv in bf16, 2
+    elements/lane on the VPU) vs the f32 assembly: the phase factors are
+    exactly representable, so the budget is the bf16 rounding of the DFT
+    products — the same class as lowp_tail's (relative ~0.4% on spectral
+    values, sub-0.05 absolute on standardized z-scores)."""
+    cfg = SpectrogramConfig(mel_norm="slaney", out_size=0)
+    x = (rng.standard_normal((4, 128_000)) * 0.3).astype(np.float32)
+    base = np.asarray(fused_log_mel_factored(jnp.asarray(x), cfg, interpret=True))
+    got = np.asarray(fused_log_mel_factored(
+        jnp.asarray(x), cfg, interpret=True, assemble_bf16=True))
+    assert got.shape == base.shape
+    # bulk error is bf16-rounding class; the worst case is amplified by
+    # cancellation in the 3-tap Hann conv (0.5x - 0.25(l+r)) where the
+    # windowed value is much smaller than its taps — observed tail: ~2 of
+    # 128k elements near 0.13 abs. Budget: tight bulk, bounded tail; the
+    # serving go/no-go for this variant is the on-chip verdict-agreement
+    # A/B, not kernel parity alone.
+    err = np.abs(got - base)
+    assert float(err.mean()) < 8e-3
+    assert float(np.quantile(err, 0.999)) < 0.08
+    assert float(err.max()) < 0.25
+    # composes with stack_dft (same assembly, shared DFT product)
+    both = np.asarray(fused_log_mel_factored(
+        jnp.asarray(x), cfg, interpret=True, assemble_bf16=True,
+        stack_dft=True))
+    np.testing.assert_array_equal(both, got)
