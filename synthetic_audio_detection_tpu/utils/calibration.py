@@ -126,6 +126,7 @@ def fit_ensemble_calibration(
     column_threshold_method: str = "eer",
     sidak_alpha: float = 0.05,
     fit_on: Optional[str] = None,
+    generic_head: bool = False,
 ) -> Dict[str, object]:
     """Fit per-column temperatures for aggregated ensemble outputs.
 
@@ -165,20 +166,33 @@ def fit_ensemble_calibration(
     """
     z = np.asarray(logits, np.float64)
     ci = np.asarray(class_idx, np.int64).ravel()
-    if z.ndim != 2 or z.shape[1] != len(class_names):
+    # generic-head ensembles carry one extra column (the generic
+    # Real-vs-any-synthetic head) between the specialists and the real mean
+    # (ensemble/multihead.py); its binary target is "any synthetic"
+    n_named = len(class_names) - 1
+    expect_cols = n_named + 1 + int(generic_head)
+    if z.ndim != 2 or z.shape[1] != expect_cols:
         raise ValueError(
-            f"logits {z.shape} vs {len(class_names)} classes {list(class_names)}")
+            f"logits {z.shape} vs {expect_cols} columns for "
+            f"{list(class_names)} (generic_head={generic_head})")
     if z.shape[0] != ci.shape[0]:
         raise ValueError(f"logits rows {z.shape[0]} vs labels {ci.shape[0]}")
-    n_heads = len(class_names) - 1
+    n_heads = n_named  # specialist heads; ci index n_named = the real class
+
+    def col_target(j: int) -> np.ndarray:
+        if generic_head and j == n_named:
+            return (ci != n_named).astype(np.float64)  # any synthetic
+        if j == expect_cols - 1:
+            return (ci == n_named).astype(np.float64)  # real column
+        return (ci == j).astype(np.float64)
 
     temps: List[float] = []
     ece_b: List[float] = []
     ece_a: List[float] = []
     nll_b: List[float] = []
     nll_a: List[float] = []
-    for j in range(n_heads + 1):
-        target = (ci == j).astype(np.float64)
+    for j in range(expect_cols):
+        target = col_target(j)
         col = z[:, j]
         t = fit_temperature(col, target)
         temps.append(round(float(t), 6))
@@ -189,9 +203,12 @@ def fit_ensemble_calibration(
         nll_b.append(round(binary_nll(col, target), 6))
         nll_a.append(round(binary_nll(col, target, scale=1.0 / t), 6))
 
+    column_names = list(class_names)
+    if generic_head:
+        column_names = column_names[:-1] + ["__generic__", column_names[-1]]
     out: Dict[str, object] = {
         "temperatures": temps,
-        "column_names": list(class_names),
+        "column_names": column_names,
         "ece_before": ece_b,
         "ece_after": ece_a,
         "nll_before": nll_b,
@@ -222,8 +239,8 @@ def fit_ensemble_calibration(
                 equal_error_rate,
             )
 
-            for j in range(n_heads + 1):
-                target = (ci == j).astype(np.int64)
+            for j in range(expect_cols):
+                target = col_target(j).astype(np.int64)
                 if not 0 < target.sum() < target.size:
                     col_thr.append(0.5)
                     continue
@@ -233,7 +250,7 @@ def fit_ensemble_calibration(
         else:
             if not 0.0 < sidak_alpha < 1.0:
                 raise ValueError(f"sidak_alpha {sidak_alpha} not in (0, 1)")
-            real_rows = z[ci == n_heads]
+            real_rows = z[ci == n_named]
             q = 1.0 - (1.0 - sidak_alpha) ** (1.0 / max(n_heads, 1))
             for j in range(n_heads):
                 if real_rows.shape[0] == 0:
@@ -241,6 +258,19 @@ def fit_ensemble_calibration(
                     continue
                 p_real = stable_sigmoid(real_rows[:, j] / temps[j])
                 col_thr.append(round(float(np.quantile(p_real, 1.0 - q)), 6))
+            if generic_head:
+                # ONE head bounds the real-FPR directly: its threshold is
+                # the plain (1 - alpha) real-window quantile, no Šidák split
+                j = n_named
+                if real_rows.shape[0] == 0:
+                    col_thr.append(0.5)
+                else:
+                    p_real = stable_sigmoid(real_rows[:, j] / temps[j])
+                    # 9 dp: a sharply-calibrated generic head can place its
+                    # real-window quantile below 5e-7, which 6 dp would
+                    # round to an always-synthetic 0.0 operating point
+                    col_thr.append(
+                        round(float(np.quantile(p_real, 1.0 - sidak_alpha)), 9))
             col_thr.append(0.5)  # real column: calibrated NLL-consistent pt
             out["sidak_alpha"] = float(sidak_alpha)
         out["column_thresholds"] = col_thr

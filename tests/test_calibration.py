@@ -332,3 +332,68 @@ def test_fit_sidak_column_thresholds(rng):
         cal.fit_ensemble_calibration(
             z, ci, names, store_column_thresholds=True,
             column_threshold_method="sidak", sidak_alpha=1.5)
+
+
+def test_fit_calibration_generic_head_columns():
+    from synthetic_audio_detection_tpu.utils.calibration import (
+        fit_ensemble_calibration,
+    )
+    """Generic-head artifacts carry one extra column; its calibration
+    target is 'any synthetic' and its Šidák-mode threshold is the DIRECT
+    (1 - alpha) real-window quantile (one head bounds the real-FPR without
+    the Šidák split)."""
+    rng = np.random.default_rng(0)
+    n = 600
+    ci = rng.integers(0, 3, n)  # classes: A, B, Real(idx 2)
+    z = rng.standard_normal((n, 4)).astype(np.float32)  # A, B, generic, real
+    # make the generic column informative: high for synthetic rows
+    z[:, 2] += np.where(ci != 2, 1.2, -1.2)  # informative but OVERLAPPING
+    cal = fit_ensemble_calibration(
+        z, ci, ["A", "B", "Real"], store_eer_threshold=True,
+        store_column_thresholds=True, generic_head=True)
+    assert len(cal["temperatures"]) == 4
+    assert cal["column_names"] == ["A", "B", "__generic__", "Real"]
+    assert len(cal["column_thresholds"]) == 4
+
+    alpha = 0.10
+    cal_s = fit_ensemble_calibration(
+        z, ci, ["A", "B", "Real"], store_column_thresholds=True,
+        column_threshold_method="sidak", sidak_alpha=alpha,
+        generic_head=True)
+    thr = cal_s["column_thresholds"]
+    # generic slot: direct alpha quantile of calibrated real-window probs
+    temps = np.asarray(cal_s["temperatures"])
+    p_real = 1.0 / (1.0 + np.exp(-(z[ci == 2, 2] / temps[2]).astype(np.float64)))
+    assert thr[2] == pytest.approx(float(np.quantile(p_real, 1.0 - alpha)),
+                                   abs=1e-5)
+    # the stored point is a probability; tie density at the rounded
+    # threshold makes an exact FPR assertion brittle — the quantile
+    # contract above is the pinned property (the compound-bound oracle
+    # test covers the Šidák specialists)
+    assert 0.0 < thr[2] < 1.0
+
+    # size mismatch guard
+    with pytest.raises(ValueError, match="columns"):
+        fit_ensemble_calibration(z[:, :3], ci, ["A", "B", "Real"],
+                                 generic_head=True)
+
+
+def test_decision_ab_generic_verdict_label():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.decision_ab import verdict_label
+
+    # columns: [A, B, generic, Real]; 3 windows of one file
+    probs = np.array([
+        [0.9, 0.1, 0.2, 0.6],
+        [0.8, 0.2, 0.1, 0.7],
+        [0.7, 0.1, 0.3, 0.6],
+    ], np.float32)
+    thr = np.full(4, 0.5, np.float32)
+    # unanimity rule on the VISIBLE columns: A is strong => SynA
+    assert verdict_label(probs, thr, 1, ["A", "B", "Real"],
+                         generic_head=True) == "A"
+    # generic verdict: generic < 0.5 everywhere => Real, despite strong A
+    assert verdict_label(probs, thr, 1, ["A", "B", "Real"],
+                         generic_head=True, generic_thr=0.5) == "Real"

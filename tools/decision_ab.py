@@ -79,16 +79,39 @@ def verdict_label(
     col_thr: np.ndarray,
     k: int,
     class_names: List[str],
+    generic_head: bool = False,
+    generic_thr: float = None,
 ) -> str:
     """Per-file majority label under the (generalized) unanimity rule —
     the same aggregation as infer/study.evaluate_tree (majority over
     windows of the SHARED ``pipeline.decide_rows`` — one implementation,
-    so the A/B tool cannot drift from serving)."""
+    so the A/B tool cannot drift from serving).
+
+    For a generic-head artifact the generic column (index n_spec) is split
+    out exactly as serving does; ``generic_thr`` engages the generic
+    verdict (Real iff generic prob < thr) in place of the rule. Attribution
+    always argmaxes the SPECIALIST columns."""
     from synthetic_audio_detection_tpu.infer.pipeline import decide_rows
 
-    syn, real = probs[:, :-1], probs[:, -1]
-    is_real = decide_rows(syn, real, col_thr, k)
-    idx = np.where(is_real, probs.shape[1] - 1, syn.argmax(axis=1))
+    n_spec = len(class_names) - 1
+    if generic_head:
+        generic = probs[:, n_spec]
+        vis = np.delete(probs, n_spec, axis=1)
+    else:
+        generic = None
+        vis = probs
+    syn, real = vis[:, :-1], vis[:, -1]
+    if generic_thr is not None:
+        if generic is None:
+            raise ValueError("generic verdict needs a generic-head artifact")
+        is_real = generic < generic_thr
+    else:
+        # threshold vector covers ALL logits columns; drop the generic slot
+        # to align with the visible columns (same split as serving)
+        ct = np.delete(col_thr, n_spec) if (
+            generic_head and len(col_thr) == probs.shape[1]) else col_thr
+        is_real = decide_rows(syn, real, ct, k)
+    idx = np.where(is_real, vis.shape[1] - 1, syn.argmax(axis=1))
     labels = [class_names[j] for j in idx]
     return collections.Counter(labels).most_common(1)[0][0]
 
@@ -96,13 +119,15 @@ def verdict_label(
 def evaluate_variant(
     files, class_names: List[str], real_name: str, holdout: Optional[str],
     temps: Optional[np.ndarray], col_thr: np.ndarray, k: int,
+    generic_head: bool = False, generic_thr: float = None,
 ) -> Dict[str, object]:
     per_class = collections.defaultdict(lambda: [0, 0, 0])  # n, det, attr
     for cls, z in files:
         if temps is not None:
             z = z / temps
         probs = 1.0 / (1.0 + np.exp(-z.astype(np.float32)))
-        label = verdict_label(probs, col_thr, k, class_names)
+        label = verdict_label(probs, col_thr, k, class_names,
+                              generic_head, generic_thr)
         correct_det = (label == real_name) == (cls == real_name)
         stats = per_class[cls]
         stats[0] += 1
@@ -165,6 +190,8 @@ def main(argv=None) -> int:
         fit_ci = cache["fit_class_idx"]
         class_names = [str(s) for s in cache["class_names"]]
         real_name = str(cache["real_name"])
+        generic_head = bool(cache["generic_head"]) if "generic_head" in cache \
+            else fit_logits.shape[1] == len(class_names) + 1
         files = []
         off = 0
         for cls, cnt in zip(cache["test_file_class"],
@@ -211,6 +238,7 @@ def main(argv=None) -> int:
         )
         class_names = list(ensemble.class_names)
         real_name = ensemble.real_name
+        generic_head = bool(ensemble.generic_head)
 
         fit = collect_logits_tree(pipe, args.fit_dir)
         fit_logits, fit_ci = fit["logits"], fit["class_idx"]
@@ -225,16 +253,17 @@ def main(argv=None) -> int:
                                          np.int64),
                 class_names=np.array(class_names),
                 real_name=np.array(real_name),
+                generic_head=np.array(generic_head),
             )
 
     cal = cal_mod.fit_ensemble_calibration(
         fit_logits, fit_ci, class_names,
         store_eer_threshold=True, store_column_thresholds=True,
-        fit_on=args.fit_dir,
+        fit_on=args.fit_dir, generic_head=generic_head,
     )
     temps = np.asarray(cal["temperatures"], np.float32)
-    n_cols = len(class_names)
-    n_heads = n_cols - 1
+    n_heads = len(class_names) - 1          # specialist heads
+    n_cols = n_heads + 1 + int(generic_head)  # logits width
     uniform = np.full(n_cols, 0.5, np.float32)
     scalar_eer = np.full(n_cols, np.float32(cal.get("threshold", 0.5)),
                          np.float32)
@@ -246,6 +275,7 @@ def main(argv=None) -> int:
     # ensemble real-FPR of α directly. Real column stays at the calibrated
     # 0.5 (temperature scaling makes that the NLL-consistent point).
     real_fit = fit_logits[fit_ci == n_heads] / temps
+    assert real_fit.shape[1] == n_cols
     p_real_fit = 1.0 / (1.0 + np.exp(-real_fit.astype(np.float64)))
     sidak = {}
     for alpha in args.sidak_alpha:
@@ -257,13 +287,27 @@ def main(argv=None) -> int:
 
     variants = {}
     for k in args.k:
-        variants[f"reference_unanimity_k{k}"] = (None, uniform, k)
+        variants[f"reference_unanimity_k{k}"] = (None, uniform, k, None)
         if k == 1:
-            variants["calibrated_unanimity_k1"] = (temps, uniform, 1)
-        variants[f"calibrated_scalar_eer_k{k}"] = (temps, scalar_eer, k)
-        variants[f"per_column_eer_k{k}"] = (temps, col_eer, k)
+            variants["calibrated_unanimity_k1"] = (temps, uniform, 1, None)
+        variants[f"calibrated_scalar_eer_k{k}"] = (temps, scalar_eer, k, None)
+        variants[f"per_column_eer_k{k}"] = (temps, col_eer, k, None)
     for name, thr in sidak.items():
-        variants[name] = (temps, thr, 1)
+        variants[name] = (temps, thr, 1, None)
+    if generic_head:
+        # the generic-verdict ladder: raw 0.5, calibrated 0.5, its own EER
+        # point, and direct real-FPR-bounded quantile points (ONE head, no
+        # Šidák compounding — the structural advantage under measurement)
+        gj = n_heads  # generic column index
+        variants["generic_raw_t50"] = (None, uniform, 1, 0.5)
+        variants["generic_cal_t50"] = (temps, uniform, 1, 0.5)
+        variants["generic_cal_eer"] = (temps, uniform, 1,
+                                       float(col_eer[gj]))
+        gen_fit = 1.0 / (1.0 + np.exp(-(real_fit[:, gj]).astype(np.float64)))
+        for alpha in args.sidak_alpha:
+            thr_g = float(np.quantile(gen_fit, 1.0 - alpha))
+            variants[f"generic_fpr_a{int(round(alpha * 100)):02d}"] = (
+                temps, uniform, 1, thr_g)
     report = {
         "merged_model": args.merged_model,
         "holdout": args.holdout,
@@ -271,10 +315,12 @@ def main(argv=None) -> int:
         "sidak_thresholds": {k: np.round(v, 4).tolist()
                              for k, v in sidak.items()},
         "calibration": cal,
+        "generic_head": generic_head,
         "variants": {
             name: evaluate_variant(files, class_names, real_name,
-                                   args.holdout, t, thr, k)
-            for name, (t, thr, k) in variants.items()
+                                   args.holdout, t, thr, k,
+                                   generic_head, g_thr)
+            for name, (t, thr, k, g_thr) in variants.items()
         },
     }
     text = json.dumps(report)
