@@ -296,6 +296,7 @@ class HeadAdder:
             workers=cfg.workers)
         trunk_dev = jax.device_put(self.trunk)
         best = 0.0
+        self._best_head = None  # best-epoch snapshot — splice serves THIS
         for epoch in range(cfg.epochs):
             n_batches = 0
             for batch in train_b.epoch(epoch):
@@ -317,14 +318,26 @@ class HeadAdder:
                 correct += float(st["correct"])
                 count += float(st["count"])
             acc = correct / max(count, 1.0)
+            if acc >= best or self._best_head is None:
+                # the added head can overfit within a few epochs on frozen
+                # features (measured: epoch-0 val 0.911 vs epoch-1 0.852,
+                # round-5 study) — serve the best validated epoch, matching
+                # the joint trainer's best-checkpoint policy
+                self._best_head = (
+                    jax.tree_util.tree_map(np.asarray, self.state.params),
+                    jax.tree_util.tree_map(np.asarray, self.state.batch_stats),
+                )
             best = max(best, acc)
             log.info("add-head %s epoch %d: val acc %.4f (%d train batches)",
                      self.new_class, epoch, acc, n_batches)
         return best
 
     def spliced(self) -> multihead.MultiHeadEnsemble:
-        return splice_head(
-            self.ensemble, self.new_class,
-            jax.tree_util.tree_map(np.asarray, self.state.params),
-            jax.tree_util.tree_map(np.asarray, self.state.batch_stats),
-        )
+        """Grown ensemble serving the BEST validated epoch's head (falls
+        back to the current state when fit() has not run)."""
+        if getattr(self, "_best_head", None) is not None:
+            hp, hs = self._best_head
+        else:
+            hp = jax.tree_util.tree_map(np.asarray, self.state.params)
+            hs = jax.tree_util.tree_map(np.asarray, self.state.batch_stats)
+        return splice_head(self.ensemble, self.new_class, hp, hs)
