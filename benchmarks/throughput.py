@@ -388,6 +388,17 @@ PRESETS = {
                              use_pallas=True, shared_backbone=True,
                              melonly=True, mel_factored=True, mel_wpc=4,
                              mel_stackdft=True),
+    # wpc=4 stacking overflows scoped VMEM (y_all [1016,1792] f32 ~7.3 MB
+    # on top of the cell's working set — 23.4M vs the 16M limit, measured
+    # HTTP 500); wpc=2 halves the stacked product
+    "melfct2-stackdft": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                             use_pallas=True, shared_backbone=True,
+                             melonly=True, mel_factored=True, mel_wpc=2,
+                             mel_stackdft=True),
+    "melfct2-asm-stack": dict(batch=128, heads=1, input_size=0, dtype="bf16",
+                              use_pallas=True, shared_backbone=True,
+                              melonly=True, mel_factored=True, mel_wpc=2,
+                              mel_bf16asm=True, mel_stackdft=True),
     "melfct4-asm-stack": dict(batch=128, heads=1, input_size=0, dtype="bf16",
                               use_pallas=True, shared_backbone=True,
                               melonly=True, mel_factored=True, mel_wpc=4,

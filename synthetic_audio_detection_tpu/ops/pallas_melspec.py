@@ -285,6 +285,13 @@ def _factored_kernel(
                 b = ab_ref[k4 + i, :][None, :].astype(asm_t)
                 x_re = x_re + a * yre - b * yim
                 x_im = x_im + a * yim + b * yre
+        if assemble_bf16:
+            # Mosaic's lane roll does not lower for packed bf16 on this
+            # toolchain (HTTP 500 at pltpu.roll) — the combine above (the
+            # dominant pass cost) stays bf16; the 3-tap window conv runs
+            # in f32
+            x_re = x_re.astype(jnp.float32)
+            x_im = x_im.astype(jnp.float32)
         # periodic Hann as the exact 3-tap conv in frequency
         l_re = pltpu.roll(x_re, n_bins - 1, 1)   # L[f] = X[f+1] (left shift)
         l_im = pltpu.roll(x_im, n_bins - 1, 1)
@@ -293,13 +300,9 @@ def _factored_kernel(
         lane0 = jax.lax.broadcasted_iota(jnp.int32, x_re.shape, 1) == 0
         r_re = jnp.where(lane0, l_re, r_re)          # X[−1] = conj(X[1])
         r_im = jnp.where(lane0, -l_im, r_im)
-        half = jnp.asarray(0.5, asm_t)
-        quarter = jnp.asarray(0.25, asm_t)
-        w_re = half * x_re - quarter * (r_re + l_re)
-        w_im = half * x_im - quarter * (r_im + l_im)
-        power = (w_re.astype(jnp.float32) * w_re.astype(jnp.float32)
-                 + w_im.astype(jnp.float32) * w_im.astype(jnp.float32)
-                 ) if assemble_bf16 else (w_re * w_re + w_im * w_im)
+        w_re = 0.5 * x_re - 0.25 * (r_re + l_re)
+        w_im = 0.5 * x_im - 0.25 * (r_im + l_im)
+        power = w_re * w_re + w_im * w_im            # [f_pad, n_bins]
         if lowp_tail:
             # bf16 mel matmul (f32 accumulate): one MXU pass instead of the
             # bf16x3 decomposition XLA uses for an f32 dot. Power values span
