@@ -245,10 +245,10 @@ def _measure_mode(mode: str, budget: float = 0.0) -> dict:
 # minutes before printing anything, which exceeded the DRIVER's own kill
 # budget. The budget that matters is the driver's, so the orchestrator now
 # runs against a hard TOTAL deadline and prints its one JSON line with
-# whatever was measured when it expires. Per-mode watchdogs are warm-cache
-# scale: the TPU compile cache is committed to git (.jax_cache), so the
-# round-end run never pays a cold 2-10-min remote compile per shape; a warm
-# mode costs ~2-4 min (first host transfer ~100 s + timing).
+# whatever was measured when it expires. Budgets assume COLD compiles:
+# the persistent cache's keys are unstable across processes on this rig
+# (same program recompiled under a new key within one session — NOTES.md),
+# so every mode budget covers a 2-10-min remote compile per shape.
 MODE_TIMEOUT_SECS = 900.0        # headline watchdog (fits one cold compile)
 SECONDARY_TIMEOUT_SECS = 900.0   # per secondary mode (observed cold+slow-
                                  # tunnel modes up to ~15 min; the TOTAL
