@@ -249,14 +249,20 @@ def _measure_mode(mode: str, budget: float = 0.0) -> dict:
 # the persistent cache's keys are unstable across processes on this rig
 # (same program recompiled under a new key within one session — NOTES.md),
 # so every mode budget covers a 2-10-min remote compile per shape.
-MODE_TIMEOUT_SECS = 900.0        # headline watchdog (fits one cold compile)
+MODE_TIMEOUT_SECS = 1250.0       # headline watchdog. Round-5 lesson: on a
+                                 # slow tunnel patch the cold 512² compile
+                                 # alone exceeded 900 s (a 27-min headline
+                                 # child completed fine at 1200s budget the
+                                 # same evening) — the old 900 s watchdog
+                                 # turned a slow compile into a zero line.
 SECONDARY_TIMEOUT_SECS = 900.0   # per secondary mode (observed cold+slow-
                                  # tunnel modes up to ~15 min; the TOTAL
                                  # deadline is the binding bound either way)
-TOTAL_DEADLINE_SECS = 1800.0     # hard cap before the JSON line is emitted
-                                 # (30 min: native-first ≤900 s can never
-                                 # starve the headline's own 900 s; the
-                                 # round-3 driver demonstrably allowed 33+)
+TOTAL_DEADLINE_SECS = 1920.0     # hard cap before the JSON line is emitted
+                                 # (32 min: a 900 s native still leaves the
+                                 # headline ~1000 s; the round-3 driver
+                                 # demonstrably allowed 33+ and the round-4
+                                 # capture ran 27 min)
 MIN_ATTEMPT_SECS = 120.0         # don't start an attempt with less than this
 
 
